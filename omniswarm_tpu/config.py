@@ -1,0 +1,190 @@
+"""Configuration dataclasses for the whole stack.
+
+Mirrors the reference's three-layer config surface (launch args → params
+struct → per-node YAML) as plain dataclasses loadable from YAML:
+- solver knobs ↔ swarm_localization_params.hpp:11-51 and the rosparam
+  defaults at swarm_localization_node.cpp:463-517
+- front-end knobs ↔ swarm_loop's extern globals (loop_params.cpp /
+  loop_defines.h)
+- per-node capability/calibration table ↔ config/swarm_nodes5.yaml
+  (has_uwb / has_vo / is_static / antenna offset / per-pair UWB bias+scale,
+  loaded at swarm_localization_node.cpp:300-328)
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+
+@dataclass
+class SolverParams:
+    """Back-end sliding-window solver parameters.
+
+    Defaults follow loop-5-drone.launch:34-60 where it overrides the code
+    defaults of swarm_localization_node.cpp:463-517.
+    """
+
+    # Window management (node.cpp:465-472)
+    max_frame_number: int = 100
+    min_frame_number: int = 1
+    dense_frame_number: int = 20
+    kf_movement: float = 0.5            # min_kf_movement
+    kf_time_with_half_movement: float = 1.0
+    enable_random_keyframe_deletion: bool = True
+    kf_use_all_nodes: bool = False
+
+    # Static-shape capacities of the masked problem (TPU-specific; no
+    # reference analog — the reference reallocs dynamically).
+    max_drones: int = 10
+    max_range_factors: int = 4096
+    max_odom_factors: int = 1024
+    max_loop_factors: int = 1024
+    max_det_factors: int = 1024
+
+    # Initialization (node.cpp:473-474)
+    init_xy_movement: float = 1.5
+    init_z_movement: float = 0.8
+    acpt_cost: float = 100.0            # max_accept_cost
+    init_random_trials: int = 3         # solve_with_multiple_init trials (solver.cpp:781)
+
+    # Optimizer budget (node.cpp:504, loop-5-drone.launch:36-38)
+    max_solver_time: float = 0.5
+    max_iterations: int = 100
+    force_freq: float = 1.0
+    predict_freq: float = 10.0
+
+    # Noise models (loop-5-drone.launch:49-54)
+    vo_cov_pos_per_meter: float = 0.002
+    vo_cov_yaw_per_meter: float = 0.0001
+    distance_measurement_cov: float = 0.02
+    detection_sphere_std: float = 0.1
+    detection_inv_dep_std: float = 0.5
+    detection_dep_std: float = 0.5
+
+    # Measurement gating (node.cpp:483-506)
+    loop_outlier_distance_threshold: float = 2.0
+    det_dpos_thres: float = 1.0
+    distance_outlier_threshold: float = 0.3
+    distance_outlier_elevation_threshold: float = 0.5
+    minimum_distance: float = 0.2
+
+    # Robustness
+    pcm_thres: float = 0.6
+    pcm_enable: bool = True
+    pcm_redundant: bool = False
+    da_accept_thres: float = 3.345
+    enable_data_association: bool = False
+    huber_delta: float = 1.0            # HuberLoss(1.0), solver.cpp:1080
+
+    # Feature switches (node.cpp:488-497)
+    enable_detection: bool = True
+    enable_loop: bool = True
+    enable_distance: bool = True
+    enable_detection_depth: bool = True
+
+    # Debug ablations (params.hpp:38-50)
+    debug_no_rejection: bool = False
+    debug_loop_initial_only: bool = False
+    debug_no_relocalization: bool = False
+
+    self_id: int = 0
+
+
+@dataclass
+class FrontendParams:
+    """Visual front-end parameters (swarm_loop's globals).
+
+    Defaults from loop_defines.h / swarm_loop.cpp:214-270 /
+    nodelet-sfisheye.launch.
+    """
+
+    width: int = 400
+    height: int = 208
+    max_keypoints: int = 200            # superpoint max_num
+    superpoint_thres: float = 0.012
+    nms_dist: int = 4                   # NMS2 grid suppression radius
+    local_desc_dim: int = 64            # FEATURE_DESC_SIZE (PCA of 256)
+    raw_desc_dim: int = 256
+    global_desc_dim: int = 4096         # DEEP_DESC_SIZE (NetVLAD)
+    netvlad_thres: float = 0.3          # inner-product loop candidate thres
+    match_index_dist: int = 10          # recency guard MATCH_INDEX_DIST
+    min_loop_matches: int = 15          # MIN_LOOP_NUM inliers
+    inter_drone_init_frames: int = 2
+    min_movement_keyframe: float = 0.3
+    max_freq: float = 1.0
+    triangulate_max_err: float = 0.05
+    pnp_iterations: int = 100
+    pnp_reproj_err: float = 0.03        # normalized-plane RANSAC threshold
+    loop_cov_pos: float = 0.02
+    loop_cov_ang: float = 0.01
+    max_db_size: int = 4096             # place-recognition database capacity
+    accept_loop_max_yaw: float = 30.0   # deg, ACCEPT_LOOP_YAW
+    accept_loop_max_pos: float = 3.0    # m, MAX_LOOP_DIS
+
+
+@dataclass
+class NodeConfig:
+    """Per-drone capability/calibration entry (swarm_nodes5.yaml)."""
+
+    drone_id: int = 0
+    has_uwb: bool = True
+    has_vo: bool = True
+    has_camera: bool = True
+    is_static: bool = False
+    antenna_pos: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # Per-peer UWB range calibration: measured = bias + scale * true
+    uwb_bias: Dict[int, float] = field(default_factory=dict)
+    uwb_scale: Dict[int, float] = field(default_factory=dict)
+
+
+@dataclass
+class SwarmConfig:
+    """Top-level config: solver + frontend + node table."""
+
+    solver: SolverParams = field(default_factory=SolverParams)
+    frontend: FrontendParams = field(default_factory=FrontendParams)
+    nodes: Dict[int, NodeConfig] = field(default_factory=dict)
+    self_id: int = 0
+
+    @staticmethod
+    def from_yaml(path: str) -> "SwarmConfig":
+        import yaml
+
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        cfg = SwarmConfig()
+        for section, target in (("solver", cfg.solver), ("frontend", cfg.frontend)):
+            for k, v in (raw.get(section) or {}).items():
+                if not hasattr(target, k):
+                    raise KeyError(f"unknown {section} param: {k}")
+                setattr(target, k, v)
+        for nid, nraw in (raw.get("nodes") or {}).items():
+            node = NodeConfig(drone_id=int(nid))
+            for k, v in (nraw or {}).items():
+                if k in ("bias", "uwb_bias"):
+                    node.uwb_bias = {int(a): float(b) for a, b in v.items()}
+                elif k in ("scale", "uwb_scale"):
+                    node.uwb_scale = {int(a): float(b) for a, b in v.items()}
+                elif hasattr(node, k):
+                    setattr(node, k, tuple(v) if k == "antenna_pos" else v)
+                else:
+                    raise KeyError(f"unknown node param: {k}")
+            cfg.nodes[int(nid)] = node
+        cfg.self_id = int(raw.get("self_id", 0))
+        cfg.solver.self_id = cfg.self_id
+        return cfg
+
+    def to_yaml(self, path: str) -> None:
+        import yaml
+
+        raw = {
+            "self_id": self.self_id,
+            "solver": dataclasses.asdict(self.solver),
+            "frontend": dataclasses.asdict(self.frontend),
+            "nodes": {
+                nid: dataclasses.asdict(node) for nid, node in self.nodes.items()
+            },
+        }
+        with open(path, "w") as f:
+            yaml.safe_dump(raw, f)

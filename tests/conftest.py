@@ -1,0 +1,37 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+TPU hardware in CI is a single chip reached through a slow tunnel; unit and
+sharding tests instead run on host-platform virtual devices (exactly how the
+driver validates the multi-chip path). The environment preloads jax and sets
+JAX_PLATFORMS=axon via sitecustomize, so we must override the config directly,
+not via setdefault.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# jax may already be imported (sitecustomize); force the platform while the
+# backend is still uninitialized.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu_devices():
+    devices = jax.devices()
+    assert devices[0].platform == "cpu", devices
+    yield
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
