@@ -1,0 +1,249 @@
+"""Batched Gauss-Newton / Levenberg-Marquardt over the masked factor graph.
+
+Replaces the reference's Ceres solve (SPARSE_NORMAL_CHOLESKY + DOGLEG,
+swarm_localization_solver.cpp:1695-1719) with a TPU-native pipeline:
+
+1. every factor family evaluates residual + (m,4) pose-block Jacobians in one
+   vmap (MXU-friendly small matmuls),
+2. Huber IRLS sqrt-weights robustify ranges/loops/detections
+   (HuberLoss(1.0) in the reference, solver.cpp:1077-1096),
+3. 4x4 blocks scatter-add into a dense block Hessian (N, N, 4, 4),
+4. gauge/validity/yaw-observability masks zero rows+cols (unit diagonal),
+5. damped system solved by dense Cholesky on the MXU,
+6. the LM accept/reject loop is a ``lax.while_loop`` — the whole solve is one
+   XLA computation, no host round-trips.
+
+Cost convention matches Ceres: total_cost = 0.5 * sum(rho(||r_block||^2)),
+so `acpt_cost` thresholds carry over (solver.cpp:947-949).
+
+Multi-trial initialization (solve_with_multiple_init, solver.cpp:781-845) is
+a ``vmap`` of the entire solver over an init batch — the trials the reference
+runs serially are free parallelism here.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from omniswarm_tpu.core import geometry as geo
+from omniswarm_tpu.solver import factors as fx
+from omniswarm_tpu.solver.graph import FactorGraph
+
+
+class SolveResult(NamedTuple):
+    poses: jnp.ndarray       # (F, D, 4)
+    cost: jnp.ndarray        # () final cost (Ceres convention)
+    initial_cost: jnp.ndarray
+    iterations: jnp.ndarray  # () i32 accepted+rejected LM iterations
+    lam: jnp.ndarray         # () final damping
+
+
+def _gather_poses(poses: jnp.ndarray, frame: jnp.ndarray, drone: jnp.ndarray):
+    return poses[frame, drone]
+
+
+def _family_terms(graph: FactorGraph, poses: jnp.ndarray, huber_delta: float,
+                  det_sphere_std: float, det_inv_dep_std: float):
+    """Evaluate residuals/Jacobians/weights for every factor family.
+
+    Returns a list of (node_a, node_b, FactorEval, sqrt_weight, valid) plus
+    the total robustified cost.
+    """
+    D = graph.num_drones
+    out = []
+    cost = jnp.zeros((), poses.dtype)
+
+    # --- UWB ranges (robust) -------------------------------------------
+    r = graph.ranges
+    pa = _gather_poses(poses, r.frame, r.drone_a)
+    pb = _gather_poses(poses, r.frame, r.drone_b)
+    ev = fx.range_eval(pa, pb, r.dist, r.sqrt_inf)
+    w = fx.huber_weight(ev.residual, huber_delta)
+    valid = r.valid
+    cost += 0.5 * jnp.sum(
+        jnp.where(valid, fx.huber_rho(jnp.sum(ev.residual**2, -1), huber_delta), 0.0)
+    )
+    out.append((r.frame * D + r.drone_a, r.frame * D + r.drone_b, ev, w, valid))
+
+    # --- ego-motion chains (no robust loss: solver.cpp:1176) ------------
+    o = graph.odoms
+    pa = _gather_poses(poses, o.frame_a, o.drone_a)
+    pb = _gather_poses(poses, o.frame_b, o.drone_b)
+    ev = fx.relpose_eval(pa, pb, o.dpose, o.sqrt_info)
+    w = jnp.ones(ev.residual.shape[0], poses.dtype)
+    cost += 0.5 * jnp.sum(
+        jnp.where(o.valid, jnp.sum(ev.residual**2, -1), 0.0)
+    )
+    out.append((o.frame_a * D + o.drone_a, o.frame_b * D + o.drone_b, ev, w, o.valid))
+
+    # --- loop closures (robust) ----------------------------------------
+    l = graph.loops
+    pa = _gather_poses(poses, l.frame_a, l.drone_a)
+    pb = _gather_poses(poses, l.frame_b, l.drone_b)
+    ev = fx.relpose_eval(pa, pb, l.dpose, l.sqrt_info)
+    w = fx.huber_weight(ev.residual, huber_delta)
+    cost += 0.5 * jnp.sum(
+        jnp.where(l.valid, fx.huber_rho(jnp.sum(ev.residual**2, -1), huber_delta), 0.0)
+    )
+    out.append((l.frame_a * D + l.drone_a, l.frame_b * D + l.drone_b, ev, w, l.valid))
+
+    # --- detections (robust) -------------------------------------------
+    d = graph.dets
+    pa = _gather_poses(poses, d.frame_a, d.drone_a)
+    pb = _gather_poses(poses, d.frame_b, d.drone_b)
+    det_eval = fx.make_detection_eval(det_sphere_std, det_inv_dep_std)
+    ev = det_eval(pa, pb, d.direction, d.tangent_base, d.inv_dep,
+                  d.dpose_a, d.dpose_b, d.enable_depth)
+    w = fx.huber_weight(ev.residual, huber_delta)
+    cost += 0.5 * jnp.sum(
+        jnp.where(d.valid, fx.huber_rho(jnp.sum(ev.residual**2, -1), huber_delta), 0.0)
+    )
+    out.append((d.frame_a * D + d.drone_a, d.frame_b * D + d.drone_b, ev, w, d.valid))
+
+    return out, cost
+
+
+def total_cost(graph: FactorGraph, poses: jnp.ndarray, *,
+               huber_delta: float = 1.0, det_sphere_std: float = 0.1,
+               det_inv_dep_std: float = 0.5) -> jnp.ndarray:
+    """Robustified total cost at the given poses (Ceres convention)."""
+    _, cost = _family_terms(graph, poses, huber_delta, det_sphere_std,
+                            det_inv_dep_std)
+    return cost
+
+
+def _param_mask(graph: FactorGraph) -> jnp.ndarray:
+    """(P,) 1.0 for free scalar params, 0.0 for fixed/invalid/frozen-yaw."""
+    free_pose = graph.pose_valid & ~graph.pose_fixed        # (F, D)
+    mask4 = jnp.repeat(free_pose[..., None], 4, axis=-1)    # (F, D, 4)
+    yaw_free = ~graph.yaw_fixed
+    mask4 = mask4.at[..., 3].set(mask4[..., 3] & yaw_free)
+    return mask4.reshape(-1).astype(jnp.float32)
+
+
+def assemble_normal_equations(graph: FactorGraph, poses: jnp.ndarray, *,
+                              huber_delta: float = 1.0,
+                              det_sphere_std: float = 0.1,
+                              det_inv_dep_std: float = 0.5):
+    """Build (H, g, cost) with gauge/validity masking applied.
+
+    H is (P, P) with unit diagonal on masked params, g is (P,).
+    """
+    F, D = graph.pose_valid.shape
+    N = F * D
+    dtype = poses.dtype
+    terms, cost = _family_terms(graph, poses, huber_delta, det_sphere_std,
+                                det_inv_dep_std)
+
+    Hb = jnp.zeros((N, N, 4, 4), dtype)
+    gb = jnp.zeros((N, 4), dtype)
+    for node_a, node_b, ev, w, valid in terms:
+        ws = jnp.sqrt(w) * valid.astype(dtype)          # sqrt IRLS weight
+        ja = ev.jac_a * ws[:, None, None]
+        jb = ev.jac_b * ws[:, None, None]
+        r = ev.residual * ws[:, None]
+        Hb = Hb.at[node_a, node_a].add(jnp.einsum("kmi,kmj->kij", ja, ja))
+        Hb = Hb.at[node_b, node_b].add(jnp.einsum("kmi,kmj->kij", jb, jb))
+        Hab = jnp.einsum("kmi,kmj->kij", ja, jb)
+        Hb = Hb.at[node_a, node_b].add(Hab)
+        Hb = Hb.at[node_b, node_a].add(jnp.swapaxes(Hab, -1, -2))
+        gb = gb.at[node_a].add(jnp.einsum("kmi,km->ki", ja, r))
+        gb = gb.at[node_b].add(jnp.einsum("kmi,km->ki", jb, r))
+
+    P = 4 * N
+    H = Hb.transpose(0, 2, 1, 3).reshape(P, P)
+    g = gb.reshape(P)
+
+    m = _param_mask(graph).astype(dtype)
+    H = H * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+    g = g * m
+    return H, g, cost
+
+
+def _apply_step(poses: jnp.ndarray, dx: jnp.ndarray) -> jnp.ndarray:
+    F, D, _ = poses.shape
+    new = poses + dx.reshape(F, D, 4)
+    return new.at[..., 3].set(geo.normalize_angle(new[..., 3]))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iterations", "huber_delta", "det_sphere_std",
+                     "det_inv_dep_std", "function_tolerance"),
+)
+def lm_solve(graph: FactorGraph, poses0: jnp.ndarray, *,
+             max_iterations: int = 100, huber_delta: float = 1.0,
+             det_sphere_std: float = 0.1, det_inv_dep_std: float = 0.5,
+             function_tolerance: float = 1e-6) -> SolveResult:
+    """Levenberg-Marquardt solve of the masked graph, fully inside XLA."""
+
+    assemble = functools.partial(
+        assemble_normal_equations, graph,
+        huber_delta=huber_delta, det_sphere_std=det_sphere_std,
+        det_inv_dep_std=det_inv_dep_std,
+    )
+    cost_fn = functools.partial(
+        total_cost, graph, huber_delta=huber_delta,
+        det_sphere_std=det_sphere_std, det_inv_dep_std=det_inv_dep_std,
+    )
+
+    init_cost = cost_fn(poses0)
+
+    def cond(state):
+        _, _, _, it, done = state
+        return (~done) & (it < max_iterations)
+
+    def body(state):
+        poses, lam, cost, it, _ = state
+        H, g, _ = assemble(poses)
+        diag = jnp.maximum(jnp.diag(H), 1e-6)
+        Hd = H + lam * jnp.diag(diag)
+        # Dense Cholesky on the MXU; non-PD → NaNs → rejected step.
+        L, low = jax.scipy.linalg.cho_factor(Hd, lower=True)
+        dx = jax.scipy.linalg.cho_solve((L, low), -g)
+        bad = ~jnp.all(jnp.isfinite(dx))
+        new_poses = _apply_step(poses, jnp.where(bad, 0.0, dx))
+        new_cost = cost_fn(new_poses)
+        accept = jnp.isfinite(new_cost) & (new_cost < cost) & ~bad
+        poses = jnp.where(accept, new_poses, poses)
+        out_cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.clip(jnp.where(accept, lam * 0.3, lam * 5.0), 1e-10, 1e10)
+        converged = accept & (cost - new_cost <= function_tolerance * cost)
+        # A rejected step at huge lambda means no progress possible.
+        stalled = (~accept) & (lam >= 1e9)
+        return poses, lam, out_cost, it + 1, converged | stalled
+
+    state0 = (poses0, jnp.asarray(1e-4, poses0.dtype), init_cost,
+              jnp.zeros((), jnp.int32), jnp.asarray(False))
+    poses, lam, cost, it, _ = jax.lax.while_loop(cond, body, state0)
+    return SolveResult(poses=poses, cost=cost, initial_cost=init_cost,
+                       iterations=it, lam=lam)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iterations", "huber_delta", "det_sphere_std",
+                     "det_inv_dep_std", "function_tolerance"),
+)
+def lm_solve_multi_init(graph: FactorGraph, poses0_batch: jnp.ndarray, *,
+                        max_iterations: int = 100, huber_delta: float = 1.0,
+                        det_sphere_std: float = 0.1,
+                        det_inv_dep_std: float = 0.5,
+                        function_tolerance: float = 1e-6) -> SolveResult:
+    """Solve from a batch of initializations in parallel, return the best.
+
+    Replaces solve_with_multiple_init's serial random re-tries
+    (solver.cpp:781-845) with a vmap over the init axis.
+    """
+    solve = functools.partial(
+        lm_solve, graph, max_iterations=max_iterations,
+        huber_delta=huber_delta, det_sphere_std=det_sphere_std,
+        det_inv_dep_std=det_inv_dep_std,
+        function_tolerance=function_tolerance,
+    )
+    results = jax.vmap(solve)(poses0_batch)
+    best = jnp.argmin(jnp.where(jnp.isfinite(results.cost), results.cost, jnp.inf))
+    return SolveResult(*(jax.tree_util.tree_map(lambda x: x[best], results)))
