@@ -1,0 +1,62 @@
+"""Benchmark: pose-graph LM solver throughput on the 5-drone benchmark graph.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Problem: the reference's headline configuration — 5 drones, 100-keyframe
+sliding window (loop-5-drone.launch max_keyframe_num=100), UWB ranges at
+every frame, ego-motion chains, loop closures, drone-to-drone detections.
+
+Baseline anchor: the reference's Ceres budget is <=1000 iterations in
+max_solver_time=0.5 s (loop-5-drone.launch:36-38, solver.cpp:1695-1706), i.e.
+2000 iter/s best-case on its hardware. vs_baseline = our iter/s / 2000.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_ITER_PER_S = 2000.0
+
+
+def main():
+    from omniswarm_tpu import sim
+    from omniswarm_tpu.solver import lm_solve
+
+    params = sim.SimParams(num_drones=5, num_frames=100, seed=0)
+    data = sim.generate(params)
+    graph, init = sim.build_graph_from_sim(data, enable_detections=True)
+    graph = jax.device_put(graph)
+    init = jax.device_put(init)
+
+    iters = 100
+    solve = lambda: lm_solve(graph, init, max_iterations=iters,
+                             function_tolerance=0.0)
+
+    # Warmup / compile.
+    res = solve()
+    jax.block_until_ready(res.poses)
+    assert np.isfinite(float(res.cost)), "solver diverged"
+    assert float(res.cost) < float(res.initial_cost), "no cost decrease"
+
+    n_rep = 5
+    t0 = time.perf_counter()
+    total_iters = 0
+    for _ in range(n_rep):
+        res = solve()
+        jax.block_until_ready(res.poses)
+        total_iters += int(res.iterations)
+    dt = time.perf_counter() - t0
+
+    iter_per_s = total_iters / dt
+    print(json.dumps({
+        "metric": "pose_graph_lm_iter_per_s_5drone_100kf",
+        "value": round(iter_per_s, 2),
+        "unit": "iter/s",
+        "vs_baseline": round(iter_per_s / BASELINE_ITER_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -40,7 +40,8 @@ def yaw_rotate(yaw: jnp.ndarray, vec: jnp.ndarray) -> jnp.ndarray:
     c, s = jnp.cos(yaw), jnp.sin(yaw)
     x = c * vec[..., 0] - s * vec[..., 1]
     y = s * vec[..., 0] + c * vec[..., 1]
-    return jnp.stack([x, y, vec[..., 2]], axis=-1)
+    z = jnp.broadcast_to(vec[..., 2], x.shape)
+    return jnp.stack([x, y, z], axis=-1)
 
 
 def pose_position(pose: jnp.ndarray) -> jnp.ndarray:
@@ -52,6 +53,9 @@ def pose_yaw(pose: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_pose(position: jnp.ndarray, yaw: jnp.ndarray) -> jnp.ndarray:
+    shape = jnp.broadcast_shapes(position.shape[:-1], yaw.shape)
+    position = jnp.broadcast_to(position, shape + (3,))
+    yaw = jnp.broadcast_to(yaw, shape)
     return jnp.concatenate([position, yaw[..., None]], axis=-1)
 
 

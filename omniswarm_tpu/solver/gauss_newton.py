@@ -108,10 +108,17 @@ def _family_terms(graph: FactorGraph, poses: jnp.ndarray, huber_delta: float,
 
 def total_cost(graph: FactorGraph, poses: jnp.ndarray, *,
                huber_delta: float = 1.0, det_sphere_std: float = 0.1,
-               det_inv_dep_std: float = 0.5) -> jnp.ndarray:
-    """Robustified total cost at the given poses (Ceres convention)."""
+               det_inv_dep_std: float = 0.5,
+               axis_name: str | None = None) -> jnp.ndarray:
+    """Robustified total cost at the given poses (Ceres convention).
+
+    With ``axis_name`` set (inside shard_map over factor shards) the local
+    partial cost is psum-reduced over the mesh axis.
+    """
     _, cost = _family_terms(graph, poses, huber_delta, det_sphere_std,
                             det_inv_dep_std)
+    if axis_name is not None:
+        cost = jax.lax.psum(cost, axis_name)
     return cost
 
 
@@ -127,10 +134,14 @@ def _param_mask(graph: FactorGraph) -> jnp.ndarray:
 def assemble_normal_equations(graph: FactorGraph, poses: jnp.ndarray, *,
                               huber_delta: float = 1.0,
                               det_sphere_std: float = 0.1,
-                              det_inv_dep_std: float = 0.5):
+                              det_inv_dep_std: float = 0.5,
+                              axis_name: str | None = None):
     """Build (H, g, cost) with gauge/validity masking applied.
 
-    H is (P, P) with unit diagonal on masked params, g is (P,).
+    H is (P, P) with unit diagonal on masked params, g is (P,). With
+    ``axis_name`` set, each shard accumulates its local factors and the
+    normal equations are psum-reduced over the mesh axis — the distributed
+    bundle-adjustment pattern (factors sharded, state replicated).
     """
     F, D = graph.pose_valid.shape
     N = F * D
@@ -157,6 +168,11 @@ def assemble_normal_equations(graph: FactorGraph, poses: jnp.ndarray, *,
     H = Hb.transpose(0, 2, 1, 3).reshape(P, P)
     g = gb.reshape(P)
 
+    if axis_name is not None:
+        H = jax.lax.psum(H, axis_name)
+        g = jax.lax.psum(g, axis_name)
+        cost = jax.lax.psum(cost, axis_name)
+
     m = _param_mask(graph).astype(dtype)
     H = H * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
     g = g * m
@@ -169,25 +185,28 @@ def _apply_step(poses: jnp.ndarray, dx: jnp.ndarray) -> jnp.ndarray:
     return new.at[..., 3].set(geo.normalize_angle(new[..., 3]))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("max_iterations", "huber_delta", "det_sphere_std",
-                     "det_inv_dep_std", "function_tolerance"),
-)
-def lm_solve(graph: FactorGraph, poses0: jnp.ndarray, *,
-             max_iterations: int = 100, huber_delta: float = 1.0,
-             det_sphere_std: float = 0.1, det_inv_dep_std: float = 0.5,
-             function_tolerance: float = 1e-6) -> SolveResult:
-    """Levenberg-Marquardt solve of the masked graph, fully inside XLA."""
+def lm_solve_impl(graph: FactorGraph, poses0: jnp.ndarray, *,
+                  max_iterations: int = 100, huber_delta: float = 1.0,
+                  det_sphere_std: float = 0.1, det_inv_dep_std: float = 0.5,
+                  function_tolerance: float = 1e-6,
+                  axis_name: str | None = None) -> SolveResult:
+    """Levenberg-Marquardt solve of the masked graph, fully inside XLA.
+
+    ``axis_name`` enables the sharded mode: factor arrays hold only this
+    device's shard, normal equations are psum-reduced, and the (small) dense
+    solve is done replicated on every device — the communication-avoiding
+    distributed-BA layout.
+    """
 
     assemble = functools.partial(
         assemble_normal_equations, graph,
         huber_delta=huber_delta, det_sphere_std=det_sphere_std,
-        det_inv_dep_std=det_inv_dep_std,
+        det_inv_dep_std=det_inv_dep_std, axis_name=axis_name,
     )
     cost_fn = functools.partial(
         total_cost, graph, huber_delta=huber_delta,
         det_sphere_std=det_sphere_std, det_inv_dep_std=det_inv_dep_std,
+        axis_name=axis_name,
     )
 
     init_cost = cost_fn(poses0)
@@ -221,6 +240,13 @@ def lm_solve(graph: FactorGraph, poses0: jnp.ndarray, *,
     poses, lam, cost, it, _ = jax.lax.while_loop(cond, body, state0)
     return SolveResult(poses=poses, cost=cost, initial_cost=init_cost,
                        iterations=it, lam=lam)
+
+
+lm_solve = jax.jit(
+    lm_solve_impl,
+    static_argnames=("max_iterations", "huber_delta", "det_sphere_std",
+                     "det_inv_dep_std", "function_tolerance", "axis_name"),
+)
 
 
 @functools.partial(
