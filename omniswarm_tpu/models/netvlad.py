@@ -1,0 +1,106 @@
+"""MobileNetVLAD global image descriptor as a Flax module.
+
+TPU-native counterpart of the reference's NetVLAD TensorRT engine
+(/root/reference/swarm_loop/src/mobilenetvlad_tensorrt.cpp, 4096-d output —
+DEEP_DESC_SIZE, loop_defines.h:30): a MobileNet-style depthwise-separable
+encoder followed by a NetVLAD pooling layer (soft cluster assignment +
+intra-normalized residual aggregation) and a linear dimensionality-reduction
+to 4096, L2-normalized so loop candidates are retrieved by inner product
+(the reference queries faiss IndexFlatIP, loop_detector.cpp:176-242).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class SeparableConv(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        x = nn.Conv(in_ch, (3, 3), strides=(self.stride, self.stride),
+                    padding="SAME", feature_group_count=in_ch,
+                    dtype=self.dtype, name="dw")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="pw")(x)
+        return nn.relu(x)
+
+
+class MobileNetEncoder(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Conv(32, (3, 3), strides=(2, 2), padding="SAME",
+                            dtype=self.dtype, name="stem")(x))
+        for i, (c, s) in enumerate(
+                [(64, 1), (128, 2), (128, 1), (256, 2), (256, 1), (512, 2)]):
+            x = SeparableConv(c, s, dtype=self.dtype, name=f"sep{i}")(x)
+        return x  # (B, H/16, W/16, 512)
+
+
+class NetVLAD(nn.Module):
+    """NetVLAD pooling: (B, H, W, C) → (B, K*C) → projected descriptor."""
+
+    num_clusters: int = 64
+    out_dim: int = 4096
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        feats = x.reshape(B, H * W, C).astype(jnp.float32)
+        # soft assignment (1x1 conv ≡ dense over channels)
+        logits = nn.Dense(self.num_clusters, name="assign")(feats)
+        assign = jax.nn.softmax(logits, axis=-1)          # (B, N, K)
+        centroids = self.param(
+            "centroids", nn.initializers.normal(0.1),
+            (self.num_clusters, C))
+        # residual aggregation: sum_n a_nk (f_n - c_k)
+        agg = jnp.einsum("bnk,bnc->bkc", assign, feats)
+        mass = jnp.sum(assign, axis=1)                    # (B, K)
+        vlad = agg - mass[..., None] * centroids[None]
+        # intra-normalization then global L2
+        vlad = vlad / jnp.maximum(
+            jnp.linalg.norm(vlad, axis=-1, keepdims=True), 1e-8)
+        vlad = vlad.reshape(B, -1)
+        vlad = vlad / jnp.maximum(
+            jnp.linalg.norm(vlad, axis=-1, keepdims=True), 1e-8)
+        out = nn.Dense(self.out_dim, use_bias=False, name="proj")(vlad)
+        return out / jnp.maximum(
+            jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-8)
+
+
+class MobileNetVLAD(nn.Module):
+    num_clusters: int = 64
+    out_dim: int = 4096
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images):
+        """images: (B, H, W, 1) grayscale in [0,1] → (B, out_dim) unit desc."""
+        x = MobileNetEncoder(dtype=self.dtype, name="encoder")(images)
+        return NetVLAD(self.num_clusters, self.out_dim, name="vlad")(x)
+
+
+class GlobalDescriptorExtractor:
+    def __init__(self, params: Optional[Dict] = None, *, height: int = 208,
+                 width: int = 400, out_dim: int = 4096,
+                 dtype: Any = jnp.float32, seed: int = 0):
+        self.model = MobileNetVLAD(out_dim=out_dim, dtype=dtype)
+        if params is None:
+            params = self.model.init(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((1, height, width, 1), jnp.float32))
+        self.params = params
+        self._apply = jax.jit(self.model.apply)
+
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        return self._apply(self.params, images)

@@ -1,0 +1,79 @@
+"""Place-recognition database: sharded matrix + matmul top-k retrieval.
+
+Replaces the reference's two faiss IndexFlatIP databases (local vs remote
+keyframes, loop_detector.h:27-29 / loop_detector.cpp:150-242): global
+descriptors live in a fixed-capacity (N, D) matrix; a query is one matvec
+(inner product on the MXU) with masks for validity, the recency guard
+(MATCH_INDEX_DIST: skip keyframes too close in sequence to the query,
+loop_detector.cpp:199-207), and own/other-drone filtering; thresholds differ
+for local vs remote (init-mode) queries as in the reference.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PlaceDB(NamedTuple):
+    desc: jnp.ndarray      # (N, D) unit global descriptors
+    drone_id: jnp.ndarray  # (N,) i32
+    frame_id: jnp.ndarray  # (N,) i32 — per-drone keyframe sequence number
+    valid: jnp.ndarray     # (N,) bool
+    cursor: jnp.ndarray    # () i32
+
+
+def make_placedb(capacity: int, dim: int, dtype=jnp.float32) -> PlaceDB:
+    return PlaceDB(
+        desc=jnp.zeros((capacity, dim), dtype),
+        drone_id=jnp.full((capacity,), -1, jnp.int32),
+        frame_id=jnp.full((capacity,), -1, jnp.int32),
+        valid=jnp.zeros((capacity,), bool),
+        cursor=jnp.zeros((), jnp.int32),
+    )
+
+
+@jax.jit
+def add(db: PlaceDB, desc: jnp.ndarray, drone_id: jnp.ndarray,
+        frame_id: jnp.ndarray) -> PlaceDB:
+    slot = db.cursor % db.desc.shape[0]
+    return PlaceDB(
+        desc=db.desc.at[slot].set(desc.astype(db.desc.dtype)),
+        drone_id=db.drone_id.at[slot].set(drone_id),
+        frame_id=db.frame_id.at[slot].set(frame_id),
+        valid=db.valid.at[slot].set(True),
+        cursor=db.cursor + 1,
+    )
+
+
+@jax.jit
+def query(db: PlaceDB, desc: jnp.ndarray, query_drone: jnp.ndarray,
+          query_frame: jnp.ndarray, *,
+          match_index_dist: jnp.ndarray = 10) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Best database hit for one query descriptor.
+
+    Returns (best_index, best_similarity). Entries of the same drone within
+    ``match_index_dist`` keyframes of the query are excluded (recency guard);
+    the caller applies the local/remote similarity threshold.
+    """
+    sim = db.desc @ desc                                     # (N,)
+    recent = (db.drone_id == query_drone) & (
+        jnp.abs(db.frame_id - query_frame) < match_index_dist)
+    sim = jnp.where(db.valid & ~recent, sim, -jnp.inf)
+    best = jnp.argmax(sim)
+    return best.astype(jnp.int32), sim[best]
+
+
+@jax.jit
+def query_batch(db: PlaceDB, desc: jnp.ndarray, query_drone: jnp.ndarray,
+                query_frame: jnp.ndarray, *,
+                match_index_dist: jnp.ndarray = 10):
+    """Batched retrieval: desc (B, D) → (best_idx (B,), best_sim (B,))."""
+    sim = desc @ db.desc.T                                   # (B, N) — MXU
+    recent = (db.drone_id[None, :] == query_drone[:, None]) & (
+        jnp.abs(db.frame_id[None, :] - query_frame[:, None]) < match_index_dist)
+    sim = jnp.where(db.valid[None, :] & ~recent, sim, -jnp.inf)
+    best = jnp.argmax(sim, axis=1)
+    return best.astype(jnp.int32), jnp.take_along_axis(
+        sim, best[:, None], axis=1)[:, 0]

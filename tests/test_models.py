@@ -1,0 +1,74 @@
+"""SuperPoint / MobileNetVLAD model smoke + behavioral tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omniswarm_tpu.models import (
+    GlobalDescriptorExtractor,
+    SuperPoint,
+    SuperPointExtractor,
+)
+
+
+@pytest.fixture(scope="module")
+def sp_extractor():
+    return SuperPointExtractor(height=64, width=96, max_keypoints=32, seed=0)
+
+
+@pytest.fixture(scope="module")
+def nv_extractor():
+    return GlobalDescriptorExtractor(height=64, width=96, out_dim=256, seed=0)
+
+
+def test_superpoint_shapes():
+    model = SuperPoint()
+    x = jax.random.uniform(jax.random.PRNGKey(42), (2, 64, 96, 1))
+    params = model.init(jax.random.PRNGKey(0), x)
+    heat, desc = model.apply(params, x)
+    assert heat.shape == (2, 64, 96)
+    assert desc.shape == (2, 8, 12, 256)
+    # heatmap cells sum to <= 1 (softmax minus dustbin)
+    assert float(jnp.max(heat)) <= 1.0
+    # descriptors unit-norm
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(desc, axis=-1)), 1.0, atol=1e-4)
+
+
+def test_superpoint_extractor_outputs(sp_extractor, rng):
+    img = jnp.asarray(rng.uniform(size=(2, 64, 96, 1)), jnp.float32)
+    xy, scores, desc, valid = sp_extractor(img)
+    assert xy.shape == (2, 32, 2)
+    assert desc.shape == (2, 32, 64)
+    # descriptors of valid kps are unit-norm
+    norms = np.asarray(jnp.linalg.norm(desc, axis=-1))
+    v = np.asarray(valid)
+    if v.any():
+        np.testing.assert_allclose(norms[v], 1.0, atol=1e-4)
+    # coords inside the image
+    xy = np.asarray(xy)
+    assert (xy[..., 0] < 96).all() and (xy[..., 1] < 64).all()
+
+
+def test_superpoint_deterministic(sp_extractor, rng):
+    img = jnp.asarray(rng.uniform(size=(1, 64, 96, 1)), jnp.float32)
+    out1 = sp_extractor(img)
+    out2 = sp_extractor(img)
+    for a, b in zip(out1, out2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_netvlad_unit_norm_and_similarity(nv_extractor, rng):
+    img = jnp.asarray(rng.uniform(size=(3, 64, 96, 1)), jnp.float32)
+    desc = nv_extractor(img)
+    assert desc.shape == (3, 256)
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(desc, axis=-1)), 1.0, atol=1e-4)
+    # a slightly perturbed image must be closer to itself than to another
+    img_near = img.at[0].add(0.01 * jnp.asarray(
+        rng.normal(size=(64, 96, 1)), jnp.float32))
+    d2 = nv_extractor(img_near)
+    sim_same = float(desc[0] @ d2[0])
+    sim_other = float(desc[1] @ d2[0])
+    assert sim_same > sim_other
+    assert sim_same > 0.9
