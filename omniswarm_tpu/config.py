@@ -70,7 +70,8 @@ class SolverParams:
     minimum_distance: float = 0.2
 
     # Robustness
-    pcm_thres: float = 0.6
+    pcm_thres: float = 0.6              # reference's 6-DoF scale (parity)
+    pcm_thres_4dof: float = 9.49        # chi2(0.95, df=4) on our 4-DoF smd
     pcm_enable: bool = True
     pcm_redundant: bool = False
     da_accept_thres: float = 3.345

@@ -1,0 +1,436 @@
+"""Frame-dense factor graph — the TPU speed-of-light assembly path.
+
+The swarm problem has rigid structure the generic scatter-based path
+(solver/graph.py + gauss_newton.py) ignores:
+
+- UWB ranges and visual detections connect two drones *in the same frame* →
+  a dense (F, D, D) measurement grid;
+- ego-motion factors connect consecutive frames of one drone → a dense
+  (F-1, D) chain;
+- only loop closures are genuinely sparse (and few).
+
+This module exploits that: residuals and *analytic* Jacobians are computed
+as component-wise array programs over (F, D, D) / (F-1, D) grids (full VPU
+lane utilization — no (K, 4) small-trailing-dim layouts), and the Hessian is
+assembled by dense masked einsums instead of scatter-adds. Only the loop
+factors use one small scatter.
+
+The normal-equation output is identical (up to float order) to
+gauss_newton.assemble_normal_equations on the equivalent sparse graph —
+tested in tests/test_dense_solver.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from omniswarm_tpu.core import geometry as geo
+from omniswarm_tpu.solver import factors as fx
+from omniswarm_tpu.solver.graph import RelPoseFactors, empty_relpose
+
+
+class DenseGraph(NamedTuple):
+    # UWB ranges: (F, D, D) upper-triangle-valid grid
+    range_dist: jnp.ndarray       # (F, D, D)
+    range_valid: jnp.ndarray      # (F, D, D) bool (use a<b half)
+    range_sqrt_inf: jnp.ndarray   # () or (F, D, D)
+    # Ego-motion chain between consecutive frames
+    odom_dpose: jnp.ndarray       # (F-1, D, 4)
+    odom_sqrt_info: jnp.ndarray   # (F-1, D, 4) diagonal sqrt information
+    odom_valid: jnp.ndarray       # (F-1, D) bool
+    # Same-frame drone detections a→b (bearing + inverse depth)
+    det_dir: jnp.ndarray          # (F, D, D, 3) unit bearing in a's frame
+    det_tb: jnp.ndarray           # (F, D, D, 2, 3) tangent basis
+    det_invdep: jnp.ndarray       # (F, D, D)
+    det_valid: jnp.ndarray        # (F, D, D) bool
+    det_has_depth: jnp.ndarray    # (F, D, D) bool
+    # Sparse loop closures (reuses the generic container)
+    loops: RelPoseFactors
+    # Pose masks
+    pose_valid: jnp.ndarray       # (F, D)
+    pose_fixed: jnp.ndarray       # (F, D)
+    yaw_fixed: jnp.ndarray        # (F, D)
+
+
+def empty_dense_graph(F: int, D: int, max_loops: int = 256,
+                      dtype=jnp.float32) -> DenseGraph:
+    return DenseGraph(
+        range_dist=jnp.zeros((F, D, D), dtype),
+        range_valid=jnp.zeros((F, D, D), bool),
+        range_sqrt_inf=jnp.asarray(1.0, dtype),
+        odom_dpose=jnp.zeros((max(F - 1, 1), D, 4), dtype),
+        odom_sqrt_info=jnp.zeros((max(F - 1, 1), D, 4), dtype),
+        odom_valid=jnp.zeros((max(F - 1, 1), D), bool),
+        det_dir=jnp.zeros((F, D, D, 3), dtype),
+        det_tb=jnp.zeros((F, D, D, 2, 3), dtype),
+        det_invdep=jnp.zeros((F, D, D), dtype),
+        det_valid=jnp.zeros((F, D, D), bool),
+        det_has_depth=jnp.zeros((F, D, D), bool),
+        loops=empty_relpose(max_loops, dtype),
+        pose_valid=jnp.zeros((F, D), bool),
+        pose_fixed=jnp.zeros((F, D), bool),
+        yaw_fixed=jnp.zeros((F, D), bool),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Residual/Jacobian grids (analytic, component-wise)
+# ---------------------------------------------------------------------------
+
+def _range_terms(graph: DenseGraph, poses, huber_delta):
+    """Range residual grid + analytic Jacobian grid.
+
+    r[f,a,b] = (||t_a - t_b|| - d) * si.  dr/dta = si*u, dr/dtb = -si*u.
+    Returns (r, u, w) with w = huber * valid weight (applied squared later).
+    """
+    t = poses[..., :3]
+    diff = t[:, :, None, :] - t[:, None, :, :]          # (F, D, D, 3)
+    dist = jnp.sqrt(jnp.sum(diff * diff, -1) + 1e-12)
+    si = graph.range_sqrt_inf
+    r = (dist - graph.range_dist) * si
+    u = diff / dist[..., None]
+    w = jnp.where(jnp.abs(r) <= huber_delta, 1.0,
+                  huber_delta / jnp.maximum(jnp.abs(r), 1e-12))
+    w = w * graph.range_valid.astype(poses.dtype)
+    cost = 0.5 * jnp.sum(jnp.where(graph.range_valid,
+                                   fx.huber_rho(r * r, huber_delta), 0.0))
+    return r, u * si, w, cost
+
+
+def _odom_terms(graph: DenseGraph, poses, F):
+    """Ego-motion residual chain + analytic Jacobians (diag sqrt info).
+
+    e = meas - delta(a, b); delta_t = R(-ya)(tb-ta); e_yaw wrapped.
+    Ja = diag(s) @ [[ R(-ya), [-dy, dx, 0]^T ], [0, 1]]
+    Jb = diag(s) @ [[-R(-ya), 0], [0, -1]]
+    """
+    pa = poses[:-1]                                     # (F-1, D, 4)
+    pb = poses[1:]
+    delta = geo.delta_pose(pa, pb)                      # (F-1, D, 4)
+    e = graph.odom_dpose - delta
+    e = e.at[..., 3].set(geo.normalize_angle(e[..., 3]))
+    s = graph.odom_sqrt_info                            # (F-1, D, 4)
+    r = s * e
+    valid = graph.odom_valid
+    cost = 0.5 * jnp.sum(jnp.where(valid, jnp.sum(r * r, -1), 0.0))
+
+    c = jnp.cos(pa[..., 3])
+    sn = jnp.sin(pa[..., 3])
+    zero = jnp.zeros_like(c)
+    one = jnp.ones_like(c)
+    # rotation rows of R(-ya): [[c, sn], [-sn, c]]
+    # Ja rows (unscaled): [c, sn, 0, -dy], [-sn, c, 0, dx], [0,0,1,0], [0,0,0,1]
+    dx_, dy_ = delta[..., 0], delta[..., 1]
+    Ja = jnp.stack([
+        jnp.stack([c, sn, zero, -dy_], -1),
+        jnp.stack([-sn, c, zero, dx_], -1),
+        jnp.stack([zero, zero, one, zero], -1),
+        jnp.stack([zero, zero, zero, one], -1),
+    ], -2) * s[..., :, None]                            # (F-1, D, 4, 4)
+    Jb = jnp.stack([
+        jnp.stack([-c, -sn, zero, zero], -1),
+        jnp.stack([sn, -c, zero, zero], -1),
+        jnp.stack([zero, zero, -one, zero], -1),
+        jnp.stack([zero, zero, zero, -one], -1),
+    ], -2) * s[..., :, None]
+    return r, Ja, Jb, valid.astype(poses.dtype), cost
+
+
+def _det_terms(graph: DenseGraph, poses, huber_delta, sphere_std,
+               inv_dep_std):
+    """Detection residual grid + Jacobians via closed-form chain rule.
+
+    rel[f,a,b] = R(-ya)(tb - ta); unit = rel/n;
+    res01 = TB @ (unit - dir)/σs; res2 = (invd - 1/n)/σi.
+    """
+    dtype = poses.dtype
+    t = poses[..., :3]
+    ya = poses[..., 3]                                  # (F, D)
+    diff = t[:, None, :, :] - t[:, :, None, :]          # (F, Da, Db, 3) b-a
+    c = jnp.cos(ya)[:, :, None]
+    s = jnp.sin(ya)[:, :, None]
+    relx = c * diff[..., 0] + s * diff[..., 1]
+    rely = -s * diff[..., 0] + c * diff[..., 1]
+    relz = diff[..., 2]
+    rel = jnp.stack([relx, rely, relz], -1)             # (F, D, D, 3)
+    n = jnp.sqrt(jnp.sum(rel * rel, -1) + 1e-12)
+    unit = rel / n[..., None]
+    err3 = unit - graph.det_dir
+    res01 = jnp.einsum("fabkj,fabj->fabk", graph.det_tb, err3) / sphere_std
+    res2 = (graph.det_invdep - 1.0 / n) / inv_dep_std
+    res2 = res2 * graph.det_has_depth.astype(dtype)
+    r = jnp.concatenate([res01, res2[..., None]], -1)   # (F, D, D, 3)
+
+    # d rel / d (ta, ya, tb): (all (F, D, D, 3, 4) folded analytically)
+    # d rel/d tb = R(-ya); d rel/d ta = -R(-ya)
+    # d rel/d ya = [rel_y, -rel_x, 0]
+    Rm = jnp.stack([
+        jnp.stack([c + 0 * relx, s + 0 * relx, 0 * relx], -1),
+        jnp.stack([-s + 0 * relx, c + 0 * relx, 0 * relx], -1),
+        jnp.stack([0 * relx, 0 * relx, 1 + 0 * relx], -1),
+    ], -2)                                              # (F, D, D, 3, 3)
+    drel_dya = jnp.stack([rely, -relx, 0 * relx], -1)   # (F, D, D, 3)
+
+    # d unit/d rel = (I - unit unit^T)/n ; d res01/d rel = TB @ that /σs
+    # d res2/d rel = unit/(n^2 σi)
+    P = (jnp.eye(3, dtype=dtype) - unit[..., :, None] * unit[..., None, :]) \
+        / n[..., None, None]
+    dres01_drel = jnp.einsum("fabkj,fabji->fabki", graph.det_tb, P) / sphere_std
+    dres2_drel = (unit / (n * n)[..., None]) / inv_dep_std \
+        * graph.det_has_depth.astype(dtype)[..., None]
+    dres_drel = jnp.concatenate(
+        [dres01_drel, dres2_drel[..., None, :]], -2)    # (F, D, D, 3, 3)
+
+    # chain: Jb = dres_drel @ R(-ya); Ja_t = -Jb_t; Ja_yaw = dres_drel @ drel_dya
+    J_t_b = jnp.einsum("fabki,fabij->fabkj", dres_drel, Rm)  # (F,D,D,3,3)
+    J_yaw_a = jnp.einsum("fabki,fabi->fabk", dres_drel, drel_dya)
+    Ja = jnp.concatenate([-J_t_b, J_yaw_a[..., None]], -1)   # (F,D,D,3,4)
+    Jb = jnp.concatenate([J_t_b, jnp.zeros_like(J_yaw_a)[..., None]], -1)
+
+    norm = jnp.linalg.norm(r, axis=-1)
+    w = jnp.where(norm <= huber_delta, 1.0,
+                  huber_delta / jnp.maximum(norm, 1e-12))
+    w = w * graph.det_valid.astype(dtype)
+    cost = 0.5 * jnp.sum(jnp.where(graph.det_valid,
+                                   fx.huber_rho(norm * norm, huber_delta),
+                                   0.0))
+    return r, Ja, Jb, w, cost
+
+
+# ---------------------------------------------------------------------------
+# Assembly
+# ---------------------------------------------------------------------------
+
+def _param_mask_dense(graph: DenseGraph, dtype) -> jnp.ndarray:
+    free = graph.pose_valid & ~graph.pose_fixed
+    m = jnp.repeat(free[..., None], 4, -1)
+    m = m.at[..., 3].set(m[..., 3] & ~graph.yaw_fixed)
+    return m.reshape(-1).astype(dtype)
+
+
+def assemble_dense(graph: DenseGraph, poses: jnp.ndarray, *,
+                   huber_delta: float = 1.0, det_sphere_std: float = 0.1,
+                   det_inv_dep_std: float = 0.5,
+                   axis_name: Optional[str] = None):
+    """Dense (scatter-free except loops) normal equations. Returns (H, g, cost)."""
+    F, D = graph.pose_valid.shape
+    dtype = poses.dtype
+    N = F * D
+    P = 4 * N
+
+    # --- intra-frame dense blocks, layout (F, Da, Db, 4, 4) ------------
+    intra = jnp.zeros((F, D, D, 4, 4), dtype)
+    diag = jnp.zeros((F, D, 4, 4), dtype)               # per-pose diagonal
+    gvec = jnp.zeros((F, D, 4), dtype)
+
+    # ranges: Ja = si*u on pose a translation; antisymmetric pair structure
+    r_r, su, w_r, cost = _range_terms(graph, poses, huber_delta)
+    # block B = su su^T (3x3, pad yaw) ; weight w
+    B3 = su[..., :, None] * su[..., None, :]            # (F, D, D, 3, 3)
+    wB3 = B3 * w_r[..., None, None]
+    # valid grid is a<b only; accumulate both orientations explicitly
+    # (uu^T identical for both).
+    wB3_sym = wB3 + jnp.swapaxes(wB3, 1, 2)
+    diag = diag.at[..., :3, :3].add(jnp.sum(wB3_sym, axis=2))
+    intra = intra.at[..., :3, :3].add(-wB3_sym)
+    # gradient: ga += w si*u * r ; gb -= ...
+    gr = (su * (w_r * r_r)[..., None])                  # (F, D, D, 3)
+    gvec = gvec.at[..., :3].add(jnp.sum(gr - jnp.swapaxes(gr, 1, 2), axis=2))
+
+    # detections
+    r_d, Ja_d, Jb_d, w_d, cost_d = _det_terms(
+        graph, poses, huber_delta, det_sphere_std, det_inv_dep_std)
+    cost += cost_d
+    wJa = Ja_d * w_d[..., None, None]
+    wJb = Jb_d * w_d[..., None, None]
+    diag += jnp.sum(jnp.einsum("fabki,fabkj->fabij", wJa, Ja_d), axis=2)
+    diag += jnp.sum(jnp.einsum("fabki,fabkj->fabij", wJb, Jb_d), axis=1)
+    Bab = jnp.einsum("fabki,fabkj->fabij", wJa, Jb_d)
+    intra += Bab
+    intra += jnp.swapaxes(jnp.swapaxes(Bab, -1, -2), 1, 2)
+    gvec += jnp.sum(jnp.einsum("fabki,fabk->fabi", wJa, r_d), axis=2)
+    gvec += jnp.sum(jnp.einsum("fabki,fabk->fabi", wJb, r_d), axis=1)
+
+    # --- odometry chain: diag at f and f+1, off-diag (f, f+1) ----------
+    r_o, Ja_o, Jb_o, w_o, cost_o = _odom_terms(graph, poses, F)
+    cost += cost_o
+    wJa_o = Ja_o * w_o[..., None, None]
+    wJb_o = Jb_o * w_o[..., None, None]
+    Baa_o = jnp.einsum("fdki,fdkj->fdij", wJa_o, Ja_o)
+    Bbb_o = jnp.einsum("fdki,fdkj->fdij", wJb_o, Jb_o)
+    Bab_o = jnp.einsum("fdki,fdkj->fdij", wJa_o, Jb_o)
+    diag = diag.at[:-1].add(Baa_o)
+    diag = diag.at[1:].add(Bbb_o)
+    gvec = gvec.at[:-1].add(jnp.einsum("fdki,fdk->fdi", wJa_o, r_o))
+    gvec = gvec.at[1:].add(jnp.einsum("fdki,fdk->fdi", wJb_o, r_o))
+
+    # --- build the big H with eye-einsums (scatter-free) ---------------
+    # node layout: node = f*D + d, params [4*node, 4*node+4)
+    eye_f = jnp.eye(F, dtype=dtype)
+    eye_d = jnp.eye(D, dtype=dtype)
+    # fold the per-pose diagonal into the intra-frame grid's a==b blocks
+    intra = intra + jnp.einsum("fdij,de->fdeij", diag, eye_d)
+    # frame-block-diagonal embedding: H[f,a,i,g,b,j] += δ_fg intra[f,a,b,i,j]
+    H6 = jnp.einsum("fabij,fg->faigbj", intra, eye_f)
+    # odometry off-diagonal (f,d) ↔ (f+1,d): shifted-eye embedding
+    shift = jnp.eye(F, k=1, dtype=dtype)                # shift[f, f+1] = 1
+    Bab_pad = jnp.concatenate(
+        [Bab_o, jnp.zeros((1, D, 4, 4), dtype)], axis=0)  # (F, D, 4, 4)
+    H6 += jnp.einsum("fdij,fg,de->fdigej", Bab_pad, shift, eye_d)
+    H6 += jnp.einsum("fdij,fg,de->gejfdi", Bab_pad, shift, eye_d)
+
+    Hb = H6.reshape(N, 4, N, 4).transpose(0, 2, 1, 3)   # (N, N, 4, 4)
+
+    # --- sparse loops (small scatter) ----------------------------------
+    l = graph.loops
+    pa = poses.reshape(N, 4)[l.frame_a * D + l.drone_a]
+    pb = poses.reshape(N, 4)[l.frame_b * D + l.drone_b]
+    ev = fx.relpose_eval(pa, pb, l.dpose, l.sqrt_info)
+    w_l = fx.huber_weight(ev.residual, huber_delta)
+    cost += 0.5 * jnp.sum(jnp.where(
+        l.valid, fx.huber_rho(jnp.sum(ev.residual**2, -1), huber_delta), 0.0))
+    ws = jnp.sqrt(w_l) * l.valid.astype(dtype)
+    ja = ev.jac_a * ws[:, None, None]
+    jb = ev.jac_b * ws[:, None, None]
+    rl = ev.residual * ws[:, None]
+    na = l.frame_a * D + l.drone_a
+    nb = l.frame_b * D + l.drone_b
+    idxl = jnp.concatenate([na * N + na, nb * N + nb, na * N + nb,
+                            nb * N + na])
+    Babl = jnp.einsum("kmi,kmj->kij", ja, jb)
+    blkl = jnp.concatenate([
+        jnp.einsum("kmi,kmj->kij", ja, ja).reshape(-1, 16),
+        jnp.einsum("kmi,kmj->kij", jb, jb).reshape(-1, 16),
+        Babl.reshape(-1, 16),
+        jnp.swapaxes(Babl, -1, -2).reshape(-1, 16)])
+    Hb = (Hb.reshape(N * N, 16).at[idxl].add(blkl)).reshape(N, N, 4, 4)
+    gflat = gvec.reshape(N, 4)
+    gflat = gflat.at[na].add(jnp.einsum("kmi,km->ki", ja, rl))
+    gflat = gflat.at[nb].add(jnp.einsum("kmi,km->ki", jb, rl))
+
+    H = Hb.transpose(0, 2, 1, 3).reshape(P, P)
+    g = gflat.reshape(P)
+
+    if axis_name is not None:
+        H = jax.lax.psum(H, axis_name)
+        g = jax.lax.psum(g, axis_name)
+        cost = jax.lax.psum(cost, axis_name)
+
+    m = _param_mask_dense(graph, dtype)
+    H = H * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+    g = g * m
+    return H, g, cost
+
+
+# ---------------------------------------------------------------------------
+# Solve + conversion
+# ---------------------------------------------------------------------------
+
+def lm_solve_dense_impl(graph: DenseGraph, poses0: jnp.ndarray, *,
+                        max_iterations: int = 100, huber_delta: float = 1.0,
+                        det_sphere_std: float = 0.1,
+                        det_inv_dep_std: float = 0.5,
+                        function_tolerance: float = 1e-6,
+                        axis_name: Optional[str] = None):
+    from omniswarm_tpu.solver.gauss_newton import run_lm_loop
+
+    assemble = functools.partial(
+        assemble_dense, graph, huber_delta=huber_delta,
+        det_sphere_std=det_sphere_std, det_inv_dep_std=det_inv_dep_std,
+        axis_name=axis_name)
+    return run_lm_loop(assemble, poses0, max_iterations=max_iterations,
+                       function_tolerance=function_tolerance)
+
+
+lm_solve_dense = jax.jit(
+    lm_solve_dense_impl,
+    static_argnames=("max_iterations", "huber_delta", "det_sphere_std",
+                     "det_inv_dep_std", "function_tolerance", "axis_name"),
+)
+
+
+def dense_graph_from_sim(sim_data, *, distance_cov: float = 0.02,
+                         vo_cov_pos_per_meter: float = 0.002,
+                         vo_cov_yaw_per_meter: float = 0.0001,
+                         self_id: int = 0,
+                         enable_detections: bool = True,
+                         loops_override=None,
+                         max_loops: Optional[int] = None) -> DenseGraph:
+    """Build a DenseGraph directly from sim.SimData (no scatter lists)."""
+    import numpy as np
+
+    from omniswarm_tpu.sim.simulator import delta_pose_np
+
+    F, D = sim_data.gt.shape[:2]
+    g = empty_dense_graph(F, D, max_loops=max_loops or max(
+        8, len(loops_override if loops_override is not None
+               else sim_data.loops)))
+
+    # ranges (a < b half)
+    tri = np.triu(np.ones((D, D), bool), 1)
+    range_valid = np.asarray(sim_data.range_valid) & tri[None]
+    g = g._replace(
+        range_dist=jnp.asarray(sim_data.ranges, jnp.float32),
+        range_valid=jnp.asarray(range_valid),
+        range_sqrt_inf=jnp.asarray(1.0 / np.sqrt(distance_cov), jnp.float32),
+    )
+
+    # odometry from VIO deltas
+    dp = np.zeros((F - 1, D, 4), np.float32)
+    si = np.zeros((F - 1, D, 4), np.float32)
+    for k in range(F - 1):
+        d = delta_pose_np(sim_data.vio[k], sim_data.vio[k + 1])
+        dp[k] = d
+        seg = np.maximum(np.linalg.norm(d[:, :3], axis=1), 1e-3)
+        ps = np.sqrt(vo_cov_pos_per_meter * seg)
+        ys = np.sqrt(vo_cov_yaw_per_meter * seg)
+        si[k, :, 0] = si[k, :, 1] = si[k, :, 2] = 1.0 / ps
+        si[k, :, 3] = 1.0 / ys
+    g = g._replace(
+        odom_dpose=jnp.asarray(dp),
+        odom_sqrt_info=jnp.asarray(si),
+        odom_valid=jnp.ones((F - 1, D), bool),
+    )
+
+    # detections (same frame, a sees b)
+    if enable_detections and sim_data.detections:
+        det_dir = np.zeros((F, D, D, 3), np.float32)
+        det_tb = np.zeros((F, D, D, 2, 3), np.float32)
+        det_invdep = np.zeros((F, D, D), np.float32)
+        det_valid = np.zeros((F, D, D), bool)
+        from omniswarm_tpu.core import geometry as geo_mod
+        for det in sim_data.detections:
+            f, a, b = det.frame, det.drone_a, det.drone_b
+            det_dir[f, a, b] = det.direction
+            det_tb[f, a, b] = np.asarray(geo_mod.tangent_base_from_unit(
+                jnp.asarray(det.direction, jnp.float32)))
+            det_invdep[f, a, b] = det.inv_dep
+            det_valid[f, a, b] = True
+        g = g._replace(
+            det_dir=jnp.asarray(det_dir), det_tb=jnp.asarray(det_tb),
+            det_invdep=jnp.asarray(det_invdep),
+            det_valid=jnp.asarray(det_valid),
+            det_has_depth=jnp.asarray(det_valid),
+        )
+
+    # loops
+    loops_src = loops_override if loops_override is not None else sim_data.loops
+    if loops_src:
+        from omniswarm_tpu.solver.graph import GraphBuilder, diag_sqrt_info
+        b = GraphBuilder(F, D, max_loops=g.loops.valid.shape[0],
+                         max_ranges=8, max_odoms=8, max_dets=8)
+        for lp in loops_src:
+            b.add_loop(lp.frame_a, lp.drone_a, lp.frame_b, lp.drone_b,
+                       lp.dpose, diag_sqrt_info(lp.pos_std, lp.yaw_std))
+        g = g._replace(loops=b._relpose_arrays(b.loops,
+                                               g.loops.valid.shape[0]))
+
+    pose_valid = np.ones((F, D), bool)
+    pose_fixed = np.zeros((F, D), bool)
+    pose_fixed[0, self_id] = True
+    g = g._replace(pose_valid=jnp.asarray(pose_valid),
+                   pose_fixed=jnp.asarray(pose_fixed))
+    return g

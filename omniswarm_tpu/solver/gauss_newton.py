@@ -149,23 +149,39 @@ def assemble_normal_equations(graph: FactorGraph, poses: jnp.ndarray, *,
     terms, cost = _family_terms(graph, poses, huber_delta, det_sphere_std,
                                 det_inv_dep_std)
 
-    Hb = jnp.zeros((N, N, 4, 4), dtype)
-    gb = jnp.zeros((N, 4), dtype)
+    # Single fused scatter-add: every (node_row, node_col, 4x4 block)
+    # contribution across all families lands in one (N*N, 16) scatter, and
+    # all gradient contributions in one (N, 4) scatter — TPU scatters are
+    # latency-bound, so one big scatter beats eight small ones.
+    idx_rows = []
+    blk_rows = []
+    gidx_rows = []
+    gblk_rows = []
     for node_a, node_b, ev, w, valid in terms:
         ws = jnp.sqrt(w) * valid.astype(dtype)          # sqrt IRLS weight
         ja = ev.jac_a * ws[:, None, None]
         jb = ev.jac_b * ws[:, None, None]
         r = ev.residual * ws[:, None]
-        Hb = Hb.at[node_a, node_a].add(jnp.einsum("kmi,kmj->kij", ja, ja))
-        Hb = Hb.at[node_b, node_b].add(jnp.einsum("kmi,kmj->kij", jb, jb))
-        Hab = jnp.einsum("kmi,kmj->kij", ja, jb)
-        Hb = Hb.at[node_a, node_b].add(Hab)
-        Hb = Hb.at[node_b, node_a].add(jnp.swapaxes(Hab, -1, -2))
-        gb = gb.at[node_a].add(jnp.einsum("kmi,km->ki", ja, r))
-        gb = gb.at[node_b].add(jnp.einsum("kmi,km->ki", jb, r))
+        Baa = jnp.einsum("kmi,kmj->kij", ja, ja).reshape(-1, 16)
+        Bbb = jnp.einsum("kmi,kmj->kij", jb, jb).reshape(-1, 16)
+        Bab = jnp.einsum("kmi,kmj->kij", ja, jb)
+        Bba = jnp.swapaxes(Bab, -1, -2).reshape(-1, 16)
+        Bab = Bab.reshape(-1, 16)
+        idx_rows += [node_a * N + node_a, node_b * N + node_b,
+                     node_a * N + node_b, node_b * N + node_a]
+        blk_rows += [Baa, Bbb, Bab, Bba]
+        gidx_rows += [node_a, node_b]
+        gblk_rows += [jnp.einsum("kmi,km->ki", ja, r),
+                      jnp.einsum("kmi,km->ki", jb, r)]
+
+    idx = jnp.concatenate(idx_rows)
+    blk = jnp.concatenate(blk_rows)
+    Hb = jnp.zeros((N * N, 16), dtype).at[idx].add(blk)
+    gb = jnp.zeros((N, 4), dtype).at[jnp.concatenate(gidx_rows)].add(
+        jnp.concatenate(gblk_rows))
 
     P = 4 * N
-    H = Hb.transpose(0, 2, 1, 3).reshape(P, P)
+    H = Hb.reshape(N, N, 4, 4).transpose(0, 2, 1, 3).reshape(P, P)
     g = gb.reshape(P)
 
     if axis_name is not None:
@@ -203,21 +219,20 @@ def lm_solve_impl(graph: FactorGraph, poses0: jnp.ndarray, *,
         huber_delta=huber_delta, det_sphere_std=det_sphere_std,
         det_inv_dep_std=det_inv_dep_std, axis_name=axis_name,
     )
-    cost_fn = functools.partial(
-        total_cost, graph, huber_delta=huber_delta,
-        det_sphere_std=det_sphere_std, det_inv_dep_std=det_inv_dep_std,
-        axis_name=axis_name,
-    )
+    return run_lm_loop(assemble, poses0, max_iterations=max_iterations,
+                       function_tolerance=function_tolerance)
 
-    init_cost = cost_fn(poses0)
+
+def run_lm_loop(assemble, poses0: jnp.ndarray, *, max_iterations: int,
+                function_tolerance: float = 1e-6) -> SolveResult:
+    """Generic LM trust loop over any assemble(poses) -> (H, g, cost)."""
+    H0, g0, init_cost = assemble(poses0)
 
     def cond(state):
-        _, _, _, it, done = state
-        return (~done) & (it < max_iterations)
+        return (~state[-1]) & (state[-2] < max_iterations)
 
     def body(state):
-        poses, lam, cost, it, _ = state
-        H, g, _ = assemble(poses)
+        poses, H, g, cost, lam, it, _ = state
         diag = jnp.maximum(jnp.diag(H), 1e-6)
         Hd = H + lam * jnp.diag(diag)
         # Dense Cholesky on the MXU; non-PD → NaNs → rejected step.
@@ -225,19 +240,23 @@ def lm_solve_impl(graph: FactorGraph, poses0: jnp.ndarray, *,
         dx = jax.scipy.linalg.cho_solve((L, low), -g)
         bad = ~jnp.all(jnp.isfinite(dx))
         new_poses = _apply_step(poses, jnp.where(bad, 0.0, dx))
-        new_cost = cost_fn(new_poses)
+        # One assembly per iteration: the candidate's normal equations double
+        # as its cost evaluation, and are kept if the step is accepted.
+        Hn, gn, new_cost = assemble(new_poses)
         accept = jnp.isfinite(new_cost) & (new_cost < cost) & ~bad
         poses = jnp.where(accept, new_poses, poses)
+        H = jnp.where(accept, Hn, H)
+        g = jnp.where(accept, gn, g)
         out_cost = jnp.where(accept, new_cost, cost)
         lam = jnp.clip(jnp.where(accept, lam * 0.3, lam * 5.0), 1e-10, 1e10)
         converged = accept & (cost - new_cost <= function_tolerance * cost)
         # A rejected step at huge lambda means no progress possible.
         stalled = (~accept) & (lam >= 1e9)
-        return poses, lam, out_cost, it + 1, converged | stalled
+        return poses, H, g, out_cost, lam, it + 1, converged | stalled
 
-    state0 = (poses0, jnp.asarray(1e-4, poses0.dtype), init_cost,
+    state0 = (poses0, H0, g0, init_cost, jnp.asarray(1e-4, poses0.dtype),
               jnp.zeros((), jnp.int32), jnp.asarray(False))
-    poses, lam, cost, it, _ = jax.lax.while_loop(cond, body, state0)
+    poses, _, _, cost, lam, it, _ = jax.lax.while_loop(cond, body, state0)
     return SolveResult(poses=poses, cost=cost, initial_cost=init_cost,
                        iterations=it, lam=lam)
 

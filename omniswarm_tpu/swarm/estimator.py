@@ -1,0 +1,448 @@
+"""Online sliding-window swarm estimator — the system orchestrator.
+
+The TPU-native counterpart of the reference's SwarmLocalizationSolver
+(/root/reference/swarm_localization/src/swarm_localization_solver.cpp) plus
+the node wrapper's throttling logic: keyframe admission and window eviction,
+measurement buffering, PCM outlier rejection, warm-started batched LM
+solving, convergence-gated re-initialization, and the high-rate forward
+propagation ("predict") path that never touches the optimizer.
+
+Host-side bookkeeping is thin numpy; every solve uploads the masked
+fixed-shape factor graph and runs the jitted LM solver (one XLA program).
+
+Behavioral parity notes (re-designed, not translated):
+- keyframe admission ↔ judge_is_key_frame (solver.cpp:108-170): admitted on
+  sufficient self movement, half movement + elapsed time, or a new drone.
+- window eviction ↔ process_frame_clear (solver.cpp:186-202): FIFO for the
+  oldest or random mid-window deletion.
+- UWB gating ↔ outlier_rejection_frame (solver.cpp:408-515): reject ranges
+  inconsistent with the current estimate (residual + elevation gates).
+- re-init ↔ solve cost > acpt_cost → finish_init=false, multi-trial
+  vmapped random init (solver.cpp:781-845, :947-949).
+- prediction ↔ PredictSwarm/PredictNode (solver.cpp:673-765): newest VIO
+  delta composed onto the last solved keyframe estimate.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omniswarm_tpu.config import SolverParams
+from omniswarm_tpu.robust.pcm import (
+    LoopSet,
+    loopset_from_measurements,
+    pcm_filter,
+)
+from omniswarm_tpu.sim.simulator import delta_pose_np, pose_mul_np, wrap
+from omniswarm_tpu.solver.graph import GraphBuilder, diag_sqrt_info
+from omniswarm_tpu.solver.gauss_newton import lm_solve, lm_solve_multi_init
+
+
+@dataclass
+class KeyframeRecord:
+    t: float
+    vio: Dict[int, np.ndarray]        # drone -> (4,) VIO pose at this kf
+    ranges: Dict[Tuple[int, int], float] = field(default_factory=dict)
+
+
+@dataclass
+class LoopRecord:
+    t_a: float
+    drone_a: int
+    t_b: float
+    drone_b: int
+    dpose: np.ndarray
+    pos_std: float
+    yaw_std: float
+
+
+@dataclass
+class DetRecord:
+    t: float
+    drone_a: int
+    drone_b: int
+    direction: np.ndarray
+    inv_dep: float
+    enable_depth: bool = True
+
+
+class SwarmEstimator:
+    def __init__(self, params: Optional[SolverParams] = None, *,
+                 rng_seed: int = 0):
+        self.params = params or SolverParams()
+        self.self_id = self.params.self_id
+        self.window: List[KeyframeRecord] = []
+        self.loops: List[LoopRecord] = []
+        self.dets: List[DetRecord] = []
+        # full-rate VIO history per drone: list[(t, pose4)]
+        self.ego: Dict[int, List[Tuple[float, np.ndarray]]] = {}
+        self.estimate: Optional[np.ndarray] = None     # (F, D, 4) last solve
+        self.window_ids: List[int] = []                # drone order
+        self.finish_init = False
+        self.last_cost = np.inf
+        self.solve_count = 0
+        self._rng = np.random.default_rng(rng_seed)
+        self._last_kf_t: Optional[float] = None
+
+    # ------------------------------------------------------------------
+    # Ingestion
+    # ------------------------------------------------------------------
+    def on_vio(self, t: float, drone: int, pose4: np.ndarray) -> None:
+        self.ego.setdefault(drone, []).append((t, np.asarray(pose4, float)))
+
+    def _is_keyframe(self, t: float, vio_self: np.ndarray) -> bool:
+        if not self.window:
+            return True
+        last = self.window[-1]
+        if self.self_id not in last.vio:
+            return True
+        move = float(np.linalg.norm(
+            vio_self[:3] - last.vio[self.self_id][:3]))
+        dt = t - last.t
+        p = self.params
+        if move > p.kf_movement:
+            return True
+        if move > 0.5 * p.kf_movement and dt > p.kf_time_with_half_movement:
+            return True
+        # a drone unseen in the last frame appears → force keyframe
+        return False
+
+    def on_swarm_frame(self, t: float,
+                       vio: Dict[int, np.ndarray],
+                       ranges: Dict[Tuple[int, int], float]) -> bool:
+        """Ingest one swarm frame; returns True if admitted as keyframe."""
+        for d, pose in vio.items():
+            self.on_vio(t, d, pose)
+        new_drone = any(
+            d not in (self.window[-1].vio if self.window else {})
+            for d in vio) if self.window else True
+        if not (new_drone or self._is_keyframe(t, vio[self.self_id])):
+            return False
+        kf = KeyframeRecord(
+            t=t, vio={d: np.asarray(p, float) for d, p in vio.items()},
+            ranges={k: float(v) for k, v in ranges.items()})
+        self.window.append(kf)
+        self._evict()
+        return True
+
+    def _evict(self) -> None:
+        p = self.params
+        while len(self.window) > p.max_frame_number:
+            if p.enable_random_keyframe_deletion and len(self.window) > 2:
+                # random mid-window deletion keeps old loop anchors alive
+                i = int(self._rng.integers(0, len(self.window) - 2))
+            else:
+                i = 0
+            del self.window[i]
+            if self.estimate is not None:
+                self.estimate = np.delete(self.estimate, i, axis=0)
+
+    def on_loop(self, loop: LoopRecord) -> None:
+        self.loops.append(loop)
+
+    def on_detection(self, det: DetRecord) -> None:
+        self.dets.append(det)
+
+    # ------------------------------------------------------------------
+    # Solve
+    # ------------------------------------------------------------------
+    def _drone_ids(self) -> List[int]:
+        ids = set()
+        for kf in self.window:
+            ids |= set(kf.vio)
+        return sorted(ids)
+
+    def _nearest_kf(self, t: float, drone: int) -> Optional[int]:
+        best, best_dt = None, np.inf
+        for i, kf in enumerate(self.window):
+            if drone in kf.vio and abs(kf.t - t) < best_dt:
+                best, best_dt = i, abs(kf.t - t)
+        if best is None or best_dt > 1.5:
+            return None
+        return best
+
+    def _ego_pose_at(self, drone: int, t: float) -> Optional[np.ndarray]:
+        hist = self.ego.get(drone)
+        if not hist:
+            return None
+        ts = np.asarray([h[0] for h in hist])
+        i = int(np.argmin(np.abs(ts - t)))
+        return hist[i][1]
+
+    def _build(self):
+        p = self.params
+        ids = self._drone_ids()
+        self.window_ids = ids
+        idmap = {d: i for i, d in enumerate(ids)}
+        F, D = len(self.window), len(ids)
+        builder = GraphBuilder(
+            F, D,
+            max_ranges=max(F * D * D, 8),
+            max_odoms=max(F * D, 8),
+            max_loops=max(len(self.loops) + len(self.dets), 8),
+            max_dets=max(len(self.dets), 8),
+        )
+        init = np.zeros((F, D, 4), np.float32)
+
+        # pose validity + init values from VIO (warm start handled later)
+        first_self_frame = None
+        for fi, kf in enumerate(self.window):
+            for d, pose in kf.vio.items():
+                di = idmap[d]
+                fixed = False
+                if d == self.self_id and first_self_frame is None:
+                    first_self_frame = fi
+                    fixed = True
+                builder.set_pose_valid(fi, di, fixed=fixed)
+                init[fi, di] = pose
+            # carry forward drones missing in this frame (masked invalid)
+
+        # ego-motion chains between consecutive frames containing the drone
+        for d in ids:
+            di = idmap[d]
+            prev = None
+            for fi, kf in enumerate(self.window):
+                if d not in kf.vio:
+                    continue
+                if prev is not None:
+                    fp, kp = prev
+                    dp = delta_pose_np(kp.vio[d], kf.vio[d])
+                    seg = max(float(np.linalg.norm(dp[:3])), 1e-3)
+                    builder.add_odom(
+                        di, fp, fi, dp,
+                        diag_sqrt_info(
+                            np.sqrt(p.vo_cov_pos_per_meter * seg),
+                            np.sqrt(p.vo_cov_yaw_per_meter * seg)))
+                prev = (fi, kf)
+
+        # UWB ranges with estimate-based gating
+        if p.enable_distance:
+            for fi, kf in enumerate(self.window):
+                for (da, db), dist in kf.ranges.items():
+                    if da not in idmap or db not in idmap or da >= db:
+                        continue
+                    if dist < p.minimum_distance:
+                        continue
+                    if self._range_outlier(fi, idmap[da], idmap[db], dist):
+                        continue
+                    builder.add_range(fi, idmap[da], idmap[db], dist,
+                                      cov=p.distance_measurement_cov)
+
+        # loops (re-anchored to nearest keyframes, PCM-filtered)
+        good_loops = self._filter_loops(idmap)
+        for (fa, da, fb, db, dpose, ps, ys) in good_loops:
+            builder.add_loop(fa, da, fb, db, dpose, diag_sqrt_info(ps, ys))
+
+        # detections → anchored at nearest kf, bearing factors
+        if p.enable_detection:
+            from omniswarm_tpu.core import geometry as geo
+            for det in self.dets:
+                fa = self._nearest_kf(det.t, det.drone_a)
+                fb = self._nearest_kf(det.t, det.drone_b)
+                if fa is None or fb is None:
+                    continue
+                if det.drone_a not in idmap or det.drone_b not in idmap:
+                    continue
+                tb = np.asarray(geo.tangent_base_from_unit(
+                    jnp.asarray(det.direction, jnp.float32)))
+                builder.add_detection(
+                    fa, idmap[det.drone_a], fb, idmap[det.drone_b],
+                    det.direction, tb, det.inv_dep,
+                    enable_depth=det.enable_depth and p.enable_detection_depth)
+
+        return builder.build(), init, idmap
+
+    def _range_outlier(self, fi: int, da: int, db: int, dist: float) -> bool:
+        """Estimate-based UWB gating (solver.cpp:408-515)."""
+        p = self.params
+        if self.estimate is None or fi >= len(self.estimate):
+            return False
+        ea, eb = self.estimate[fi, da], self.estimate[fi, db]
+        if not (np.isfinite(ea).all() and np.isfinite(eb).all()):
+            return False
+        est_d = float(np.linalg.norm(ea[:3] - eb[:3]))
+        if est_d < 1e-6:
+            return False
+        if abs(est_d - dist) > max(
+                p.distance_outlier_threshold * est_d, 1.0):
+            return True
+        dz = abs(ea[2] - eb[2])
+        elev = dz / max(est_d, 1e-6)
+        return elev > p.distance_outlier_elevation_threshold and dist < 3.0
+
+    def _filter_loops(self, idmap):
+        """Anchor loops to keyframes; run PCM on the anchored set."""
+        p = self.params
+        anchored = []
+        for lp in self.loops:
+            fa = self._nearest_kf(lp.t_a, lp.drone_a)
+            fb = self._nearest_kf(lp.t_b, lp.drone_b)
+            if fa is None or fb is None:
+                continue
+            if lp.drone_a not in idmap or lp.drone_b not in idmap:
+                continue
+            # re-anchor measurement from its capture time to the keyframes
+            pa_kf = self.window[fa].vio.get(lp.drone_a)
+            pb_kf = self.window[fb].vio.get(lp.drone_b)
+            pa_t = self._ego_pose_at(lp.drone_a, lp.t_a)
+            pb_t = self._ego_pose_at(lp.drone_b, lp.t_b)
+            if pa_kf is None or pb_kf is None or pa_t is None or pb_t is None:
+                continue
+            d_a = delta_pose_np(pa_kf, pa_t)        # kf_a -> capture_a
+            d_b = delta_pose_np(pb_t, pb_kf)        # capture_b -> kf_b
+            dpose = pose_mul_np(pose_mul_np(d_a, lp.dpose), d_b)
+            drift = (np.linalg.norm(d_a[:3]) + np.linalg.norm(d_b[:3]))
+            ps = float(np.sqrt(lp.pos_std**2
+                               + p.vo_cov_pos_per_meter * drift))
+            ys = float(np.sqrt(lp.yaw_std**2
+                               + p.vo_cov_yaw_per_meter * drift))
+            anchored.append((fa, idmap[lp.drone_a], fb, idmap[lp.drone_b],
+                             dpose, ps, ys))
+        if not anchored or not p.pcm_enable or p.debug_no_rejection:
+            return anchored
+
+        class _L:
+            pass
+
+        ms = []
+        for (fa, da, fb, db, dpose, ps, ys) in anchored:
+            m = _L()
+            m.frame_a, m.drone_a, m.frame_b, m.drone_b = fa, da, fb, db
+            m.dpose, m.pos_std, m.yaw_std = dpose, ps, ys
+            ms.append(m)
+        loopset = loopset_from_measurements(ms)
+        vio_grid = self._vio_grid(idmap)
+        res = pcm_filter(
+            loopset, vio_grid, pcm_thres=p.pcm_thres_4dof,
+            self_id=idmap.get(self.self_id, -1), redundant=p.pcm_redundant,
+            vo_cov_pos_per_meter=p.vo_cov_pos_per_meter,
+            vo_cov_yaw_per_meter=p.vo_cov_yaw_per_meter)
+        return [a for a, ok in zip(anchored, res.good_mask) if ok]
+
+    def _vio_grid(self, idmap) -> np.ndarray:
+        F, D = len(self.window), len(idmap)
+        grid = np.zeros((F, D, 4), np.float32)
+        for fi, kf in enumerate(self.window):
+            for d, pose in kf.vio.items():
+                grid[fi, idmap[d]] = pose
+            for d, di in idmap.items():
+                if d not in kf.vio and fi > 0:
+                    grid[fi, di] = grid[fi - 1, di]
+        return grid
+
+    def solve(self) -> Dict:
+        """Run one sliding-window solve; returns a status dict."""
+        p = self.params
+        if len(self.window) < p.min_frame_number:
+            return {"solved": False, "reason": "window too small"}
+        graph, init, idmap = self._build()
+        F, D = init.shape[:2]
+
+        # Warm start from the previous estimate where shapes still align.
+        if (self.finish_init and self.estimate is not None
+                and self.estimate.shape[0] >= 1):
+            Fp = min(self.estimate.shape[0], F)
+            Dp = min(self.estimate.shape[1], D)
+            warm = init.copy()
+            warm[:Fp, :Dp] = self.estimate[-Fp:, :Dp]
+            init = warm
+
+        if not self.finish_init:
+            # vmapped multi-trial random init (solve_with_multiple_init)
+            B = p.init_random_trials + 1
+            inits = np.tile(init[None], (B, 1, 1, 1))
+            # Randomize only non-self drones (the reference's random init
+            # leaves the ego chain at VIO and perturbs the others,
+            # solver.cpp:781-845); jittering the gauge-fixed pose would move
+            # the anchor itself.
+            self_col = idmap.get(self.self_id, None)
+            for b in range(1, B):
+                jitter = self._rng.normal(
+                    0, 2.0, size=(F, D, 4)).astype(np.float32)
+                jitter[..., 3] = self._rng.uniform(
+                    -np.pi, np.pi, size=(F, D))
+                if self_col is not None:
+                    jitter[:, self_col, :] = 0.0
+                inits[b] = init + jitter
+            res = lm_solve_multi_init(
+                graph, jnp.asarray(inits),
+                max_iterations=p.max_iterations,
+                det_sphere_std=p.detection_sphere_std,
+                det_inv_dep_std=p.detection_inv_dep_std)
+        else:
+            res = lm_solve(
+                graph, jnp.asarray(init),
+                max_iterations=p.max_iterations,
+                det_sphere_std=p.detection_sphere_std,
+                det_inv_dep_std=p.detection_inv_dep_std)
+
+        cost = float(res.cost)
+        self.last_cost = cost
+        self.solve_count += 1
+        if np.isfinite(cost) and cost < p.acpt_cost:
+            self.finish_init = True
+            self.estimate = np.asarray(res.poses)
+        else:
+            self.finish_init = False     # trigger re-init next solve
+        return {"solved": True, "cost": cost,
+                "iterations": int(res.iterations),
+                "finish_init": self.finish_init,
+                "num_frames": F, "num_drones": D}
+
+    # ------------------------------------------------------------------
+    # Forward propagation (never touches the optimizer)
+    # ------------------------------------------------------------------
+    def predict(self, drone: int, t: float) -> Optional[np.ndarray]:
+        """Latest solved keyframe estimate ∘ Δ(VIO) — PredictNode."""
+        if self.estimate is None or drone not in self.window_ids:
+            return None
+        di = self.window_ids.index(drone)
+        # newest keyframe containing this drone
+        fi = None
+        for i in range(len(self.window) - 1, -1, -1):
+            if drone in self.window[i].vio and i < len(self.estimate):
+                fi = i
+                break
+        if fi is None:
+            return None
+        vio_now = self._ego_pose_at(drone, t)
+        if vio_now is None:
+            return None
+        dvio = delta_pose_np(self.window[fi].vio[drone], vio_now)
+        return pose_mul_np(self.estimate[fi, di], dvio)
+
+    def predict_swarm(self, t: float) -> Dict[int, np.ndarray]:
+        out = {}
+        for d in self.window_ids:
+            p = self.predict(d, t)
+            if p is not None:
+                out[d] = p
+        return out
+
+    def base_coordinates(self) -> Dict[int, np.ndarray]:
+        """Per-drone base-frame offset: est ∘ vio^-1 at the newest keyframe.
+
+        Reference: NodeCooridnateOffset (solver.cpp:701-733) — the transform
+        from each drone's own VIO frame into the self drone's frame.
+        """
+        out = {}
+        if self.estimate is None:
+            return out
+        for d in self.window_ids:
+            di = self.window_ids.index(d)
+            for i in range(len(self.window) - 1, -1, -1):
+                if d in self.window[i].vio and i < len(self.estimate):
+                    est = self.estimate[i, di]
+                    vio = self.window[i].vio[d]
+                    # offset = est ∘ vio^-1
+                    dyaw = wrap(est[3] - vio[3])
+                    c, s = np.cos(dyaw), np.sin(dyaw)
+                    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+                    tr = est[:3] - R @ vio[:3]
+                    out[d] = np.concatenate([tr, [dyaw]])
+                    break
+        return out

@@ -1,0 +1,99 @@
+"""Online sliding-window estimator: ingestion, solving, prediction, re-init."""
+import numpy as np
+import pytest
+
+from omniswarm_tpu import sim
+from omniswarm_tpu.config import SolverParams
+from omniswarm_tpu.eval import metrics
+from omniswarm_tpu.swarm import DetRecord, LoopRecord, SwarmEstimator
+
+
+def feed_sim(est: SwarmEstimator, data: sim.SimData, upto: int):
+    """Feed sim frames [0, upto) into the estimator."""
+    D = data.gt.shape[1]
+    for k in range(upto):
+        vio = {d: data.vio[k, d] for d in range(D)}
+        ranges = {}
+        for a in range(D):
+            for b in range(D):
+                if a != b and data.range_valid[k, a, b]:
+                    ranges[(a, b)] = float(data.ranges[k, a, b])
+        est.on_swarm_frame(float(data.times[k]), vio, ranges)
+    for lp in data.loops:
+        if lp.frame_a < upto and lp.frame_b < upto:
+            est.on_loop(LoopRecord(
+                t_a=float(data.times[lp.frame_a]), drone_a=lp.drone_a,
+                t_b=float(data.times[lp.frame_b]), drone_b=lp.drone_b,
+                dpose=lp.dpose, pos_std=lp.pos_std, yaw_std=lp.yaw_std))
+    for det in data.detections:
+        if det.frame < upto:
+            est.on_detection(DetRecord(
+                t=float(data.times[det.frame]), drone_a=det.drone_a,
+                drone_b=det.drone_b, direction=det.direction,
+                inv_dep=det.inv_dep))
+
+
+@pytest.fixture(scope="module")
+def data():
+    return sim.generate(sim.SimParams(num_drones=4, num_frames=30, seed=21))
+
+
+def test_keyframe_admission(data):
+    est = SwarmEstimator(SolverParams(self_id=0))
+    feed_sim(est, data, 30)
+    # moving drones at >=0.5 m/frame: nearly all frames admitted
+    assert 10 <= len(est.window) <= 30
+
+
+def test_solve_and_accuracy(data):
+    est = SwarmEstimator(SolverParams(self_id=0, pcm_redundant=True))
+    feed_sim(est, data, 30)
+    out = est.solve()
+    assert out["solved"] and est.finish_init, out
+    F = len(est.window)
+    # compare estimate to GT at the window keyframes
+    kf_idx = [int(round(kf.t)) for kf in est.window]
+    gt = data.gt[kf_idx]
+    rel = metrics.mean_relative_ate(est.estimate, gt)
+    assert rel < 0.15, (rel, out)
+
+
+def test_window_eviction():
+    data = sim.generate(sim.SimParams(num_drones=3, num_frames=40, seed=22))
+    est = SwarmEstimator(SolverParams(self_id=0, max_frame_number=15))
+    feed_sim(est, data, 40)
+    assert len(est.window) <= 15
+
+
+def test_prediction_follows_vio(data):
+    est = SwarmEstimator(SolverParams(self_id=0, pcm_redundant=True))
+    feed_sim(est, data, 25)
+    est.solve()
+    # predict at a time after the last keyframe using newer VIO
+    for k in range(25, 30):
+        for d in range(data.gt.shape[1]):
+            est.on_vio(float(data.times[k]), d, data.vio[k, d])
+    pred = est.predict_swarm(float(data.times[29]))
+    assert len(pred) >= 3
+    for d, pose in pred.items():
+        err = np.linalg.norm(pose[:3] - data.gt[29, d, :3])
+        assert err < 0.6, (d, err)
+
+
+def test_reinit_on_high_cost(data):
+    p = SolverParams(self_id=0, acpt_cost=1e-9)  # impossible acceptance
+    est = SwarmEstimator(p)
+    feed_sim(est, data, 20)
+    out = est.solve()
+    assert out["solved"]
+    assert not est.finish_init          # cost gate must trigger re-init
+
+
+def test_base_coordinates(data):
+    est = SwarmEstimator(SolverParams(self_id=0, pcm_redundant=True))
+    feed_sim(est, data, 30)
+    est.solve()
+    bc = est.base_coordinates()
+    assert set(bc) == set(est.window_ids)
+    # self drone's offset should be ~identity (it is anchored to its VIO)
+    np.testing.assert_allclose(bc[0][:3], 0.0, atol=0.3)
