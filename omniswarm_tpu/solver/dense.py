@@ -434,3 +434,72 @@ def dense_graph_from_sim(sim_data, *, distance_cov: float = 0.02,
     g = g._replace(pose_valid=jnp.asarray(pose_valid),
                    pose_fixed=jnp.asarray(pose_fixed))
     return g
+
+
+def lm_solve_dense_batched_impl(graph: DenseGraph, poses0_batch: jnp.ndarray,
+                                *, max_iterations: int = 100,
+                                huber_delta: float = 1.0,
+                                det_sphere_std: float = 0.1,
+                                det_inv_dep_std: float = 0.5,
+                                function_tolerance: float = 1e-6):
+    """Batch-native LM: B problem instances advance in lock-step.
+
+    One while_loop carries (B, ...) state; assembly is vmapped and the B
+    damped systems are factorized by one batched Cholesky — the TPU-natural
+    way to run multi-init trials or per-drone replica solves concurrently.
+    Lanes that have converged simply stop accepting steps (their lambda
+    freezes); the loop exits when all lanes are done or at max_iterations.
+    """
+    import jax.scipy.linalg as jsl
+
+    from omniswarm_tpu.solver.gauss_newton import SolveResult, _apply_step
+
+    assemble_one = functools.partial(
+        assemble_dense, graph, huber_delta=huber_delta,
+        det_sphere_std=det_sphere_std, det_inv_dep_std=det_inv_dep_std)
+    assemble = jax.vmap(assemble_one)
+
+    H0, g0, cost0 = assemble(poses0_batch)
+    B = poses0_batch.shape[0]
+
+    def cond(state):
+        _, _, _, _, _, it, done = state
+        return (~jnp.all(done)) & (it < max_iterations)
+
+    def body(state):
+        poses, H, g, cost, lam, it, done = state
+        diag = jnp.maximum(
+            jnp.diagonal(H, axis1=-2, axis2=-1), 1e-6)      # (B, P)
+        Hd = H + lam[:, None, None] * jax.vmap(jnp.diag)(diag)
+        L = jax.lax.linalg.cholesky(Hd)
+        dx = jsl.cho_solve((L, True), -g[..., None])[..., 0]
+        bad = ~jnp.all(jnp.isfinite(dx), axis=-1)            # (B,)
+        dx = jnp.where(bad[:, None], 0.0, dx)
+        new_poses = jax.vmap(_apply_step)(poses, dx)
+        Hn, gn, new_cost = assemble(new_poses)
+        accept = jnp.isfinite(new_cost) & (new_cost < cost) & ~bad & ~done
+        sel = accept[:, None, None, None]
+        poses = jnp.where(sel, new_poses, poses)
+        H = jnp.where(accept[:, None, None], Hn, H)
+        g = jnp.where(accept[:, None], gn, g)
+        out_cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(done, lam, jnp.clip(
+            jnp.where(accept, lam * 0.3, lam * 5.0), 1e-10, 1e10))
+        converged = accept & (cost - new_cost <= function_tolerance * cost)
+        stalled = (~accept) & (lam >= 1e9)
+        return (poses, H, g, out_cost, lam, it + 1,
+                done | converged | stalled)
+
+    state0 = (poses0_batch, H0, g0, cost0,
+              jnp.full((B,), 1e-4, poses0_batch.dtype),
+              jnp.zeros((), jnp.int32), jnp.zeros((B,), bool))
+    poses, _, _, cost, lam, it, _ = jax.lax.while_loop(cond, body, state0)
+    return SolveResult(poses=poses, cost=cost, initial_cost=cost0,
+                       iterations=it, lam=lam)
+
+
+lm_solve_dense_batched = jax.jit(
+    lm_solve_dense_batched_impl,
+    static_argnames=("max_iterations", "huber_delta", "det_sphere_std",
+                     "det_inv_dep_std", "function_tolerance"),
+)

@@ -1,0 +1,93 @@
+"""Full decentralized system test: N identical DroneNodes over a lossy bus.
+
+Each drone runs the complete pipeline (visual keyframes → loop detection →
+multicast exchange → sliding-window solve) on its own; the only coupling is
+the bus and the UWB frames. Mirrors the reference's simulator.launch tier
+(multi-drone in one process against the real estimator) with the real
+front-end code paths exercised on synthetic visual features.
+"""
+import numpy as np
+import pytest
+
+from omniswarm_tpu import sim
+from omniswarm_tpu.config import FrontendParams, SolverParams
+from omniswarm_tpu.eval import metrics
+from omniswarm_tpu.sim.visual_world import VisualWorld
+from omniswarm_tpu.swarm.comm import LossyBus
+from omniswarm_tpu.swarm.node import DroneNode
+
+
+@pytest.fixture(scope="module")
+def system():
+    D, F = 3, 25
+    data = sim.generate(sim.SimParams(
+        num_drones=D, num_frames=F, seed=51,
+        radius_range=(2.0, 4.0), z_range=(0.8, 2.0)))
+    world = VisualWorld(seed=7, n_landmarks=600, extent=8.0)
+    bus = LossyBus(drop_rate=0.05, seed=3)
+    fp = FrontendParams(max_db_size=512, min_loop_matches=12,
+                        match_index_dist=5, netvlad_thres=0.5,
+                        pnp_iterations=128)
+    nodes = [DroneNode(d, bus,
+                       solver_params=SolverParams(
+                           pcm_redundant=False, max_iterations=60),
+                       frontend_params=fp,
+                       global_dim=world.global_dim, seed=d)
+             for d in range(D)]
+
+    for k in range(F):
+        t = float(data.times[k])
+        vio = {d: data.vio[k, d] for d in range(D)}
+        ranges = {(a, b): float(data.ranges[k, a, b])
+                  for a in range(D) for b in range(D)
+                  if a != b and data.range_valid[k, a, b]}
+        for node in nodes:
+            node.on_swarm_frame(t, vio, ranges)
+        # every 2nd frame each drone produces a visual keyframe
+        if k % 2 == 0:
+            for d, node in enumerate(nodes):
+                kf = world.make_keyframe(
+                    d, k, data.gt[k, d], t, vio_pose=data.vio[k, d])
+                node.on_local_keyframe(kf, t)
+        bus.step(t + 0.01)
+        for node in nodes:
+            node.step(t + 0.02)
+    return data, nodes
+
+
+def test_loops_flow_through_system(system):
+    data, nodes = system
+    total_found = sum(n.loops_found for n in nodes)
+    total_recv = sum(n.loops_received for n in nodes)
+    assert total_found >= 2, total_found
+    # peers receive each other's loop edges over the bus
+    assert total_recv >= total_found, (total_found, total_recv)
+
+
+def test_every_drone_converges(system):
+    data, nodes = system
+    D = len(nodes)
+    for node in nodes:
+        out = node.solve()
+        assert out["solved"], out
+        est = node.estimator
+        assert est.finish_init, out
+        kf_idx = [int(round(kf.t)) for kf in est.window]
+        gt = data.gt[kf_idx]
+        rel = metrics.mean_relative_ate(est.estimate, gt)
+        assert rel < 0.25, (node.drone_id, rel, out)
+
+
+def test_nodes_agree_on_relative_state(system):
+    data, nodes = system
+    # drone 0 and drone 1's estimates of the relative pose 0→1 at the last
+    # common keyframe should agree (eventual consistency of the swarm)
+    ests = []
+    for node in nodes[:2]:
+        est = node.estimator
+        ids = est.window_ids
+        rel = est.estimate[-1, ids.index(1), :3] - est.estimate[
+            -1, ids.index(0), :3]
+        ests.append(rel)
+    diff = np.linalg.norm(ests[0] - ests[1])
+    assert diff < 0.5, diff
