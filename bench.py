@@ -5,10 +5,8 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 Problem: the reference's headline configuration — 5 drones, 100-keyframe
 sliding window (loop-5-drone.launch max_keyframe_num=100), UWB ranges at
 every frame, ego-motion chains, loop closures, drone-to-drone detections —
-solved as a batch of B=8 multi-init instances in lock-step (the reference
-runs its init trials serially, solver.cpp:781-845; batching them is the
-TPU-native equivalent). Throughput = accepted LM iterations x B / wall time,
-using the frame-dense scatter-free assembly (solver/dense.py).
+solved with the frame-dense scatter-free assembly (solver/dense.py).
+Throughput = LM iterations / wall time on one chip.
 
 Baseline anchor: the reference's Ceres budget is <=1000 iterations in
 max_solver_time=0.5 s (loop-5-drone.launch:36-38, solver.cpp:1695-1706),
@@ -22,36 +20,26 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_ITER_PER_S = 2000.0
-BATCH = 8
 ITERS = 100
 
 
 def main():
     from omniswarm_tpu import sim
-    from omniswarm_tpu.solver.dense import (
-        dense_graph_from_sim,
-        lm_solve_dense_batched,
-    )
+    from omniswarm_tpu.solver.dense import dense_graph_from_sim, lm_solve_dense
 
     params = sim.SimParams(num_drones=5, num_frames=100, seed=0)
     data = sim.generate(params)
-    graph = dense_graph_from_sim(data)
-    init = jnp.asarray(data.vio, jnp.float32)
-    rng = np.random.default_rng(0)
-    inits = np.tile(np.asarray(init)[None], (BATCH, 1, 1, 1))
-    for b in range(1, BATCH):
-        inits[b, :, 1:, :3] += rng.normal(0, 0.5, size=(100, 4, 3))
-    inits = jax.device_put(jnp.asarray(inits))
-    graph = jax.device_put(graph)
+    graph = jax.device_put(dense_graph_from_sim(data))
+    init = jax.device_put(jnp.asarray(data.vio, jnp.float32))
 
-    solve = lambda: lm_solve_dense_batched(
-        graph, inits, max_iterations=ITERS, function_tolerance=0.0)
+    solve = lambda: lm_solve_dense(
+        graph, init, max_iterations=ITERS, function_tolerance=0.0)
 
     # Warmup / compile.
     res = solve()
     jax.block_until_ready(res.poses)
-    assert np.isfinite(np.asarray(res.cost)).all(), "solver diverged"
-    assert float(res.cost[0]) < float(res.initial_cost[0]), "no cost decrease"
+    assert np.isfinite(float(res.cost)), "solver diverged"
+    assert float(res.cost) < float(res.initial_cost), "no cost decrease"
 
     n_rep = 5
     t0 = time.perf_counter()
@@ -59,12 +47,12 @@ def main():
     for _ in range(n_rep):
         res = solve()
         jax.block_until_ready(res.poses)
-        total_iters += int(res.iterations) * BATCH
+        total_iters += int(res.iterations)
     dt = time.perf_counter() - t0
 
     iter_per_s = total_iters / dt
     print(json.dumps({
-        "metric": "pose_graph_lm_iter_per_s_5drone_100kf_batch8",
+        "metric": "pose_graph_lm_iter_per_s_5drone_100kf",
         "value": round(iter_per_s, 2),
         "unit": "iter/s",
         "vs_baseline": round(iter_per_s / BASELINE_ITER_PER_S, 3),
