@@ -1,0 +1,58 @@
+"""Real flight-log dataset replay → solver → ATE (BASELINE config 1/3)."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omniswarm_tpu import sim
+from omniswarm_tpu.eval import metrics
+from omniswarm_tpu.io import parse_flight_csv, replay_dataset
+from omniswarm_tpu.solver import lm_solve
+
+DATA_DIR = "/root/reference/swarm_localization/data"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(DATA_DIR), reason="reference flight logs not mounted")
+
+
+def log_path(name):
+    return os.path.join(DATA_DIR, name)
+
+
+def test_parse_flight_csv():
+    log = parse_flight_csv(log_path("2019-3-6-fast-circle.csv"))
+    assert log.ts.ndim == 1 and len(log.ts) > 1000
+    assert log.pos.shape == (len(log.ts), 3)
+    # yaw_only default zeroes roll/pitch
+    assert np.allclose(log.rpy[:, :2], 0.0)
+    # timestamps monotonically increasing
+    assert np.all(np.diff(log.ts) > 0)
+
+
+def test_replay_two_drone_solve():
+    # offsets pick motion-rich segments (circle flight / figure sweep)
+    data = replay_dataset(
+        [(log_path("2019-3-6-fast-circle.csv"), 530.0),
+         (log_path("circle-3s-gc-fix.csv"), 20.0)],
+        num_frames=40, dt=0.5, seed=1)
+    graph, init = sim.build_graph_from_sim(data, enable_loops=False,
+                                           enable_detections=False)
+    res = lm_solve(graph, init, max_iterations=60)
+    rel = metrics.mean_relative_ate(np.asarray(res.poses), data.gt)
+    vio_rel = metrics.mean_relative_ate(data.vio, data.gt)
+    assert rel < 0.25, (rel, vio_rel)
+    assert np.isfinite(float(res.cost))
+
+
+def test_replay_three_drone_real_logs():
+    data = replay_dataset(
+        [(log_path("2019-3-6-fast-circle.csv"), 530.0),
+         (log_path("realsense_2019_5_15_loop.csv"), 40.0),
+         (log_path("sweep-2019-3-8.csv"), 80.0)],
+        num_frames=30, dt=0.5, seed=2)
+    graph, init = sim.build_graph_from_sim(data, enable_loops=False,
+                                           enable_detections=False)
+    res = lm_solve(graph, init, max_iterations=60)
+    assert np.isfinite(float(res.cost))
+    rel = metrics.mean_relative_ate(np.asarray(res.poses), data.gt)
+    assert rel < 0.5, rel
