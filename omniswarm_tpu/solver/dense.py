@@ -503,3 +503,207 @@ lm_solve_dense_batched = jax.jit(
     static_argnames=("max_iterations", "huber_delta", "det_sphere_std",
                      "det_inv_dep_std", "function_tolerance"),
 )
+
+
+# ---------------------------------------------------------------------------
+# Block-tridiagonal + Woodbury path (no (P, P) Hessian ever materialized)
+# ---------------------------------------------------------------------------
+
+def assemble_blocks(graph: DenseGraph, poses: jnp.ndarray, *,
+                    huber_delta: float = 1.0, det_sphere_std: float = 0.1,
+                    det_inv_dep_std: float = 0.5):
+    """Normal equations in frame-block form.
+
+    Returns (A (F, m, m) diagonal blocks, Boff (F-1, m, m) odometry
+    off-diagonals, g (F, m), U (F, m, 4L) loop Jacobian columns, cost) with
+    m = D*4. The full Hessian is implicitly
+    T + U U^T where T is block-tridiagonal — solved by cyclic reduction +
+    Sherman-Morrison-Woodbury in lm_solve_bt. The result is numerically
+    identical to assemble_dense's big H (tested).
+    """
+    F, D = graph.pose_valid.shape
+    m = 4 * D
+    dtype = poses.dtype
+
+    intra = jnp.zeros((F, D, D, 4, 4), dtype)
+    diag = jnp.zeros((F, D, 4, 4), dtype)
+    gvec = jnp.zeros((F, D, 4), dtype)
+
+    r_r, su, w_r, cost = _range_terms(graph, poses, huber_delta)
+    B3 = su[..., :, None] * su[..., None, :]
+    wB3 = B3 * w_r[..., None, None]
+    wB3_sym = wB3 + jnp.swapaxes(wB3, 1, 2)
+    diag = diag.at[..., :3, :3].add(jnp.sum(wB3_sym, axis=2))
+    intra = intra.at[..., :3, :3].add(-wB3_sym)
+    gr = (su * (w_r * r_r)[..., None])
+    gvec = gvec.at[..., :3].add(jnp.sum(gr - jnp.swapaxes(gr, 1, 2), axis=2))
+
+    r_d, Ja_d, Jb_d, w_d, cost_d = _det_terms(
+        graph, poses, huber_delta, det_sphere_std, det_inv_dep_std)
+    cost += cost_d
+    wJa = Ja_d * w_d[..., None, None]
+    wJb = Jb_d * w_d[..., None, None]
+    diag += jnp.sum(jnp.einsum("fabki,fabkj->fabij", wJa, Ja_d), axis=2)
+    diag += jnp.sum(jnp.einsum("fabki,fabkj->fabij", wJb, Jb_d), axis=1)
+    Bab = jnp.einsum("fabki,fabkj->fabij", wJa, Jb_d)
+    intra += Bab + jnp.swapaxes(jnp.swapaxes(Bab, -1, -2), 1, 2)
+    gvec += jnp.sum(jnp.einsum("fabki,fabk->fabi", wJa, r_d), axis=2)
+    gvec += jnp.sum(jnp.einsum("fabki,fabk->fabi", wJb, r_d), axis=1)
+
+    r_o, Ja_o, Jb_o, w_o, cost_o = _odom_terms(graph, poses, F)
+    cost += cost_o
+    wJa_o = Ja_o * w_o[..., None, None]
+    wJb_o = Jb_o * w_o[..., None, None]
+    diag = diag.at[:-1].add(jnp.einsum("fdki,fdkj->fdij", wJa_o, Ja_o))
+    diag = diag.at[1:].add(jnp.einsum("fdki,fdkj->fdij", wJb_o, Jb_o))
+    Bab_o = jnp.einsum("fdki,fdkj->fdij", wJa_o, Jb_o)
+    gvec = gvec.at[:-1].add(jnp.einsum("fdki,fdk->fdi", wJa_o, r_o))
+    gvec = gvec.at[1:].add(jnp.einsum("fdki,fdk->fdi", wJb_o, r_o))
+
+    # param mask at (F, D, 4) granularity
+    free = graph.pose_valid & ~graph.pose_fixed
+    mask4 = jnp.repeat(free[..., None], 4, -1)
+    mask4 = mask4.at[..., 3].set(mask4[..., 3] & ~graph.yaw_fixed)
+    mflat = mask4.reshape(F, m).astype(dtype)            # (F, m)
+
+    # frame-diagonal blocks: intra + per-pose diag on its a==b entries
+    eye_d = jnp.eye(D, dtype=dtype)
+    intra = intra + jnp.einsum("fdij,de->fdeij", diag, eye_d)
+    A = intra.transpose(0, 1, 3, 2, 4).reshape(F, m, m)
+
+    # odometry off-diagonal frame blocks (block-diagonal over drones)
+    Boff = jnp.einsum("fdij,de->fdiej", Bab_o, eye_d).reshape(F - 1, m, m)
+
+    # sparse loop factors → low-rank columns U (F, m, 4L) + g additions
+    l = graph.loops
+    L = l.valid.shape[0]
+    N = F * D
+    poses_flat = poses.reshape(N, 4)
+    pa = poses_flat[l.frame_a * D + l.drone_a]
+    pb = poses_flat[l.frame_b * D + l.drone_b]
+    ev = fx.relpose_eval(pa, pb, l.dpose, l.sqrt_info)
+    w_l = fx.huber_weight(ev.residual, huber_delta)
+    cost += 0.5 * jnp.sum(jnp.where(
+        l.valid, fx.huber_rho(jnp.sum(ev.residual**2, -1), huber_delta), 0.0))
+    ws = jnp.sqrt(w_l) * l.valid.astype(dtype)
+    ja = ev.jac_a * ws[:, None, None]                    # (L, 4, 4) rows m
+    jb = ev.jac_b * ws[:, None, None]
+    rl = ev.residual * ws[:, None]
+
+    # U[f, d*4+i, 4k+c] += J^T entries for each loop endpoint
+    U = jnp.zeros((F * m, 4 * L), dtype)
+    col = (jnp.arange(L)[:, None, None] * 4
+           + jnp.arange(4)[None, :, None])               # (L, 4c, 1)
+    col = jnp.broadcast_to(col, (L, 4, 4))
+    row_a = (l.frame_a[:, None, None] * m + l.drone_a[:, None, None] * 4
+             + jnp.arange(4)[None, None, :])             # (L, 1, 4i)
+    row_a = jnp.broadcast_to(row_a, (L, 4, 4))
+    row_b = (l.frame_b[:, None, None] * m + l.drone_b[:, None, None] * 4
+             + jnp.arange(4)[None, None, :])
+    row_b = jnp.broadcast_to(row_b, (L, 4, 4))
+    # ja[k, c, i] goes to U[row_a[k, c, i], col[k, c, i]]
+    U = U.at[row_a.reshape(-1), col.reshape(-1)].add(ja.reshape(-1))
+    U = U.at[row_b.reshape(-1), col.reshape(-1)].add(jb.reshape(-1))
+    U = U.reshape(F, m, 4 * L)
+
+    gflat = gvec.reshape(F, m)
+    gl = jnp.zeros((F * m,), dtype)
+    grow_a = (l.frame_a[:, None] * m + l.drone_a[:, None] * 4
+              + jnp.arange(4)[None, :])
+    grow_b = (l.frame_b[:, None] * m + l.drone_b[:, None] * 4
+              + jnp.arange(4)[None, :])
+    gl = gl.at[grow_a.reshape(-1)].add(
+        jnp.einsum("kmi,km->ki", ja, rl).reshape(-1))
+    gl = gl.at[grow_b.reshape(-1)].add(
+        jnp.einsum("kmi,km->ki", jb, rl).reshape(-1))
+    gflat = gflat + gl.reshape(F, m)
+
+    # apply masks: zero rows/cols, unit diagonal on masked entries
+    A = A * mflat[:, :, None] * mflat[:, None, :]
+    A = A + jnp.eye(m, dtype=dtype)[None] * (1.0 - mflat)[:, :, None] * \
+        jnp.eye(m, dtype=dtype)[None]
+    Boff = Boff * mflat[:-1, :, None] * mflat[1:, None, :]
+    U = U * mflat[:, :, None]
+    gflat = gflat * mflat
+
+    return A, Boff, gflat, U, cost
+
+
+def lm_solve_bt_impl(graph: DenseGraph, poses0: jnp.ndarray, *,
+                     max_iterations: int = 100, huber_delta: float = 1.0,
+                     det_sphere_std: float = 0.1,
+                     det_inv_dep_std: float = 0.5,
+                     function_tolerance: float = 1e-6):
+    """LM with the block-tridiagonal + Woodbury linear solver.
+
+    Per iteration: one cyclic-reduction factor-solve with (1 + 4L) RHS, one
+    small (4L, 4L) Cholesky — no dense (P, P) Hessian, no large scatters.
+    """
+    import jax.scipy.linalg as jsl
+
+    from omniswarm_tpu.solver.block_tridiag import bt_solve
+    from omniswarm_tpu.solver.gauss_newton import SolveResult, _apply_step
+
+    F, D = graph.pose_valid.shape
+    m = 4 * D
+
+    assemble = functools.partial(
+        assemble_blocks, graph, huber_delta=huber_delta,
+        det_sphere_std=det_sphere_std, det_inv_dep_std=det_inv_dep_std)
+
+    A0, B0, g0, U0, cost0 = assemble(poses0)
+    C = U0.shape[-1]
+
+    def smw_solve(A, B, g, U, lam):
+        # damping on the FULL Hessian diagonal: diag(T) + diag(U U^T)
+        diagT = jnp.diagonal(A, axis1=-2, axis2=-1)          # (F, m)
+        diagU = jnp.sum(U * U, axis=-1)                      # (F, m)
+        d = lam * jnp.maximum(diagT + diagU, 1e-6)
+        Ad = A + d[..., None] * jnp.eye(m, dtype=A.dtype)[None]
+        rhs = jnp.concatenate([-g[..., None], U], axis=-1)   # (F, m, 1+C)
+        Y = bt_solve(Ad, B, rhs)
+        yb = Y[..., 0]                                       # (F, m)
+        YU = Y[..., 1:]                                      # (F, m, C)
+        S = jnp.eye(C, dtype=A.dtype) + jnp.einsum(
+            "fmc,fmd->cd", U, YU)
+        Uyb = jnp.einsum("fmc,fm->c", U, yb)
+        Lc, low = jsl.cho_factor(S, lower=True)
+        z = jsl.cho_solve((Lc, low), Uyb)
+        dx = yb - jnp.einsum("fmc,c->fm", YU, z)
+        return dx.reshape(F, D, 4).reshape(-1)
+
+    def cond(state):
+        return (~state[-1]) & (state[-2] < max_iterations)
+
+    def body(state):
+        poses, A, B, g, U, cost, lam, it, _ = state
+        dx = smw_solve(A, B, g, U, lam)
+        bad = ~jnp.all(jnp.isfinite(dx))
+        new_poses = _apply_step(poses, jnp.where(bad, 0.0, dx))
+        An, Bn, gn, Un, new_cost = assemble(new_poses)
+        accept = jnp.isfinite(new_cost) & (new_cost < cost) & ~bad
+        poses = jnp.where(accept, new_poses, poses)
+        A = jnp.where(accept, An, A)
+        B = jnp.where(accept, Bn, B)
+        g = jnp.where(accept, gn, g)
+        U = jnp.where(accept, Un, U)
+        out_cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.clip(jnp.where(accept, lam * 0.3, lam * 5.0), 1e-10, 1e10)
+        converged = accept & (cost - new_cost <= function_tolerance * cost)
+        stalled = (~accept) & (lam >= 1e9)
+        return poses, A, B, g, U, out_cost, lam, it + 1, converged | stalled
+
+    state0 = (poses0, A0, B0, g0, U0, cost0,
+              jnp.asarray(1e-4, poses0.dtype), jnp.zeros((), jnp.int32),
+              jnp.asarray(False))
+    out = jax.lax.while_loop(cond, body, state0)
+    poses, cost, lam, it = out[0], out[5], out[6], out[7]
+    return SolveResult(poses=poses, cost=cost, initial_cost=cost0,
+                       iterations=it, lam=lam)
+
+
+lm_solve_bt = jax.jit(
+    lm_solve_bt_impl,
+    static_argnames=("max_iterations", "huber_delta", "det_sphere_std",
+                     "det_inv_dep_std", "function_tolerance"),
+)

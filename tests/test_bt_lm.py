@@ -1,0 +1,66 @@
+"""Block-tridiagonal+Woodbury LM must match the dense-H LM."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omniswarm_tpu import sim
+from omniswarm_tpu.eval import metrics
+from omniswarm_tpu.solver.dense import (
+    assemble_blocks,
+    assemble_dense,
+    dense_graph_from_sim,
+    lm_solve_bt,
+    lm_solve_dense,
+)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    data = sim.generate(sim.SimParams(num_drones=4, num_frames=20, seed=31))
+    graph = dense_graph_from_sim(data)
+    init = jnp.asarray(data.vio, jnp.float32)
+    return data, graph, init
+
+
+def test_blocks_match_dense_H(problem):
+    data, graph, init = problem
+    F, D = graph.pose_valid.shape
+    m = 4 * D
+    Hd, gd, cd = assemble_dense(graph, init)
+    A, B, g, U, c = assemble_blocks(graph, init)
+    np.testing.assert_allclose(float(c), float(cd), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g).reshape(-1), np.asarray(gd),
+                               rtol=1e-3, atol=1e-3)
+    # reconstruct the full H from blocks: T + U U^T
+    P = F * m
+    H = np.zeros((P, P), np.float32)
+    A_, B_, U_ = map(np.asarray, (A, B, U))
+    for f in range(F):
+        H[f * m:(f + 1) * m, f * m:(f + 1) * m] = A_[f]
+    for f in range(F - 1):
+        H[f * m:(f + 1) * m, (f + 1) * m:(f + 2) * m] = B_[f]
+        H[(f + 1) * m:(f + 2) * m, f * m:(f + 1) * m] = B_[f].T
+    Uf = U_.reshape(P, -1)
+    H += Uf @ Uf.T
+    # masked diagonal differs by construction only in unit entries
+    np.testing.assert_allclose(H, np.asarray(Hd), rtol=2e-3, atol=2e-2)
+
+
+def test_bt_lm_matches_dense_lm(problem):
+    data, graph, init = problem
+    rd = lm_solve_dense(graph, init, max_iterations=50)
+    rb = lm_solve_bt(graph, init, max_iterations=50)
+    np.testing.assert_allclose(float(rb.cost), float(rd.cost), rtol=2e-2)
+    rel_d = metrics.mean_relative_ate(np.asarray(rd.poses), data.gt)
+    rel_b = metrics.mean_relative_ate(np.asarray(rb.poses), data.gt)
+    assert rel_b < 0.08, rel_b
+    assert abs(rel_b - rel_d) < 0.02, (rel_b, rel_d)
+
+
+def test_bt_lm_five_drone_100kf():
+    data = sim.generate(sim.SimParams(num_drones=5, num_frames=100, seed=0))
+    graph = dense_graph_from_sim(data)
+    init = jnp.asarray(data.vio, jnp.float32)
+    res = lm_solve_bt(graph, init, max_iterations=60)
+    rel = metrics.mean_relative_ate(np.asarray(res.poses), data.gt)
+    assert rel < 0.08, (rel, float(res.cost))
