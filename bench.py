@@ -5,7 +5,9 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 Problem: the reference's headline configuration — 5 drones, 100-keyframe
 sliding window (loop-5-drone.launch max_keyframe_num=100), UWB ranges at
 every frame, ego-motion chains, loop closures, drone-to-drone detections —
-solved with the frame-dense scatter-free assembly (solver/dense.py).
+solved with the frame-dense assembly + cyclic-reduction block-tridiagonal
+linear solver with Woodbury loop corrections (solver/dense.py::lm_solve_bt —
+no dense Hessian is ever materialized).
 Throughput = LM iterations / wall time on one chip.
 
 Baseline anchor: the reference's Ceres budget is <=1000 iterations in
@@ -25,14 +27,14 @@ ITERS = 100
 
 def main():
     from omniswarm_tpu import sim
-    from omniswarm_tpu.solver.dense import dense_graph_from_sim, lm_solve_dense
+    from omniswarm_tpu.solver.dense import dense_graph_from_sim, lm_solve_bt
 
     params = sim.SimParams(num_drones=5, num_frames=100, seed=0)
     data = sim.generate(params)
     graph = jax.device_put(dense_graph_from_sim(data))
     init = jax.device_put(jnp.asarray(data.vio, jnp.float32))
 
-    solve = lambda: lm_solve_dense(
+    solve = lambda: lm_solve_bt(
         graph, init, max_iterations=ITERS, function_tolerance=0.0)
 
     # Warmup / compile.
