@@ -1,0 +1,166 @@
+"""UWB/narrowband bridge — the localization_proxy equivalent.
+
+Re-design of /root/reference/localization_proxy/src/localization_proxy.cpp:
+each UWB tick creates a swarm frame carrying self odometry + the measured
+distance map; frames wait in a bounded queue so late-arriving remote
+odometry (broadcast over the narrowband radio in compact fixed-point
+packets) can be merged before the frame is released to the estimator
+(create_swarm_frame_from_uwb :671-742, add_odom_dis_to_sf :248-272,
+process_swarm_frame_queue :555-563). A separate high-rate path emits
+velocity-extrapolated predicted frames (send_predicted_swarm_frame
+:600-624).
+
+The MAVLink dialect is replaced by an explicit struct-packed fixed-point
+codec with the same quantization (pos float, vel ×100, rpy ×1000, distances
+mm uint16, invalid = 0xFFFF — :399-423).
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+MAX_DRONES = 10
+INVALID_DISTANCE = 0xFFFF
+
+# ts_ms i32 | drone u8 | odom_ok u8 | pos 3f | vel 3h (cm/s) | rpy 3h (mrad)
+# | dis 10H (mm)
+_RT_FMT = struct.Struct("<iBB3f3h3h10H")
+
+
+@dataclass
+class NodeRealtimeInfo:
+    t: float
+    drone_id: int
+    odometry_available: bool
+    pos: np.ndarray               # (3,) float
+    vel: np.ndarray               # (3,)
+    rpy: np.ndarray               # (3,)
+    distances: Dict[int, float]   # peer -> meters
+
+    @property
+    def pose4(self) -> np.ndarray:
+        return np.concatenate([self.pos, self.rpy[2:3]])
+
+
+def encode_realtime_info(info: NodeRealtimeInfo) -> bytes:
+    dis = [INVALID_DISTANCE] * MAX_DRONES
+    for peer, d in info.distances.items():
+        if 0 <= peer < MAX_DRONES and d >= 0:
+            dis[peer] = min(int(d * 1000), 0xFFFE)
+    return _RT_FMT.pack(
+        int(info.t * 1000), info.drone_id, int(info.odometry_available),
+        *[float(x) for x in info.pos],
+        *[int(np.clip(v * 100, -32768, 32767)) for v in info.vel],
+        *[int(np.clip(a * 1000, -32768, 32767)) for a in info.rpy],
+        *dis)
+
+
+def decode_realtime_info(buf: bytes) -> NodeRealtimeInfo:
+    vals = _RT_FMT.unpack(buf)
+    ts_ms, drone_id, odom_ok = vals[0], vals[1], vals[2]
+    pos = np.asarray(vals[3:6], float)
+    vel = np.asarray(vals[6:9], float) / 100.0
+    rpy = np.asarray(vals[9:12], float) / 1000.0
+    dis_raw = vals[12:22]
+    distances = {i: d / 1000.0 for i, d in enumerate(dis_raw)
+                 if d != INVALID_DISTANCE}
+    return NodeRealtimeInfo(
+        t=ts_ms / 1000.0, drone_id=drone_id, odometry_available=bool(odom_ok),
+        pos=pos, vel=vel, rpy=rpy, distances=distances)
+
+
+@dataclass
+class SwarmFrame:
+    t: float
+    # drone -> (pose4, vel) — self entry plus merged remote entries
+    nodes: Dict[int, Tuple[np.ndarray, np.ndarray]] = field(
+        default_factory=dict)
+    ranges: Dict[Tuple[int, int], float] = field(default_factory=dict)
+
+
+class LocalProxy:
+    """Swarm-frame builder with a merge queue for late remote odometry."""
+
+    def __init__(self, self_id: int, *, queue_size: int = 10,
+                 match_tolerance: float = 0.1,
+                 on_frame: Optional[Callable[[SwarmFrame], None]] = None):
+        self.self_id = self_id
+        self.queue_size = queue_size
+        self.match_tolerance = match_tolerance
+        self.on_frame = on_frame
+        self.queue: List[SwarmFrame] = []
+        self.self_odom: Optional[Tuple[float, np.ndarray, np.ndarray]] = None
+
+    def on_self_odometry(self, t: float, pose4: np.ndarray,
+                         vel: np.ndarray) -> None:
+        self.self_odom = (t, np.asarray(pose4, float), np.asarray(vel, float))
+
+    def on_uwb_tick(self, t: float, distances: Dict[int, float]) -> bytes:
+        """A UWB ranging cycle: create a frame, return the broadcast packet.
+
+        Mirrors on_remote_uwb_info → create_swarm_frame_from_uwb.
+        """
+        sf = SwarmFrame(t=t)
+        if self.self_odom is not None:
+            _, pose, vel = self.self_odom
+            sf.nodes[self.self_id] = (pose.copy(), vel.copy())
+        for peer, d in distances.items():
+            if d >= 0:
+                sf.ranges[(self.self_id, peer)] = float(d)
+        self.queue.append(sf)
+        released = self.queue[: max(0, len(self.queue) - self.queue_size)]
+        self.queue = self.queue[len(released):]
+        if self.on_frame:
+            for sf_out in released:
+                self.on_frame(sf_out)
+
+        pose = self.self_odom[1] if self.self_odom else np.zeros(4)
+        vel = self.self_odom[2] if self.self_odom else np.zeros(3)
+        info = NodeRealtimeInfo(
+            t=t, drone_id=self.self_id,
+            odometry_available=self.self_odom is not None,
+            pos=pose[:3], vel=vel, rpy=np.asarray([0.0, 0.0, pose[3]]),
+            distances=distances)
+        return encode_realtime_info(info)
+
+    def on_remote_packet(self, buf: bytes) -> bool:
+        """Merge a peer's fixed-point odometry+ranges into a queued frame."""
+        info = decode_realtime_info(buf)
+        if info.drone_id == self.self_id:
+            return False
+        best, best_dt = None, self.match_tolerance
+        for sf in self.queue:
+            dt = abs(sf.t - info.t)
+            if dt <= best_dt:
+                best, best_dt = sf, dt
+        if best is None:
+            return False
+        if info.odometry_available:
+            best.nodes[info.drone_id] = (info.pose4,
+                                         info.vel)
+        for peer, d in info.distances.items():
+            best.ranges[(info.drone_id, peer)] = d
+        return True
+
+    def flush(self) -> List[SwarmFrame]:
+        """Release all queued frames (end of session / timer flush)."""
+        out, self.queue = self.queue, []
+        if self.on_frame:
+            for sf in out:
+                self.on_frame(sf)
+        return out
+
+    def predict_frame(self, t: float) -> Optional[SwarmFrame]:
+        """Velocity-extrapolated high-rate frame (predict_nf :586-598)."""
+        if self.self_odom is None:
+            return None
+        t0, pose, vel = self.self_odom
+        dt = t - t0
+        pred = pose.copy()
+        pred[:3] = pose[:3] + vel * dt
+        sf = SwarmFrame(t=t)
+        sf.nodes[self.self_id] = (pred, vel.copy())
+        return sf

@@ -1,0 +1,79 @@
+"""localization_proxy equivalent: fixed-point codec + frame merge queue."""
+import numpy as np
+
+from omniswarm_tpu.swarm.proxy import (
+    INVALID_DISTANCE,
+    LocalProxy,
+    NodeRealtimeInfo,
+    SwarmFrame,
+    decode_realtime_info,
+    encode_realtime_info,
+)
+
+
+def test_codec_roundtrip():
+    info = NodeRealtimeInfo(
+        t=12.345, drone_id=3, odometry_available=True,
+        pos=np.array([1.5, -2.25, 0.75]),
+        vel=np.array([0.12, -0.34, 0.05]),
+        rpy=np.array([0.01, -0.02, 1.57]),
+        distances={0: 3.21, 2: 0.5, 7: 12.0})
+    out = decode_realtime_info(encode_realtime_info(info))
+    assert out.drone_id == 3 and out.odometry_available
+    np.testing.assert_allclose(out.t, 12.345, atol=1e-3)
+    np.testing.assert_allclose(out.pos, info.pos, atol=1e-6)
+    np.testing.assert_allclose(out.vel, info.vel, atol=0.01)   # cm/s
+    np.testing.assert_allclose(out.rpy, info.rpy, atol=1e-3)   # mrad
+    assert set(out.distances) == {0, 2, 7}
+    np.testing.assert_allclose(out.distances[0], 3.21, atol=1e-3)
+
+
+def test_frame_merge_queue():
+    frames = []
+    p0 = LocalProxy(0, queue_size=3, on_frame=frames.append)
+    p1 = LocalProxy(1, queue_size=3)
+
+    p0.on_self_odometry(0.0, np.array([0.0, 0, 1, 0]), np.zeros(3))
+    p1.on_self_odometry(0.0, np.array([5.0, 0, 1, 0]), np.zeros(3))
+
+    pkt1 = p1.on_uwb_tick(0.0, {0: 5.0})
+    p0.on_uwb_tick(0.0, {1: 5.0})
+    # remote packet arrives late but within the queue window → merged
+    assert p0.on_remote_packet(pkt1)
+    p0.flush()
+    assert len(frames) == 1
+    sf = frames[0]
+    assert set(sf.nodes) == {0, 1}
+    np.testing.assert_allclose(sf.nodes[1][0][:3], [5.0, 0, 1], atol=1e-5)
+    assert sf.ranges[(0, 1)] == 5.0
+    assert abs(sf.ranges[(1, 0)] - 5.0) < 1e-3
+
+
+def test_queue_eviction_releases_frames():
+    released = []
+    p = LocalProxy(0, queue_size=2, on_frame=released.append)
+    p.on_self_odometry(0.0, np.zeros(4), np.zeros(3))
+    for k in range(5):
+        p.on_uwb_tick(float(k), {})
+    # queue holds 2; 3 frames released in order
+    assert len(released) == 3
+    assert [sf.t for sf in released] == [0.0, 1.0, 2.0]
+
+
+def test_late_packet_outside_window_dropped():
+    p = LocalProxy(0, queue_size=2)
+    p.on_self_odometry(0.0, np.zeros(4), np.zeros(3))
+    p.on_uwb_tick(10.0, {})
+    info = NodeRealtimeInfo(
+        t=0.0, drone_id=1, odometry_available=True, pos=np.zeros(3),
+        vel=np.zeros(3), rpy=np.zeros(3), distances={})
+    assert not p.on_remote_packet(encode_realtime_info(info))
+
+
+def test_predict_frame_extrapolates():
+    p = LocalProxy(0)
+    p.on_self_odometry(1.0, np.array([1.0, 2.0, 3.0, 0.5]),
+                       np.array([1.0, 0.0, -0.5]))
+    sf = p.predict_frame(2.0)
+    np.testing.assert_allclose(sf.nodes[0][0], [2.0, 2.0, 2.5, 0.5],
+                               atol=1e-6)
