@@ -31,7 +31,7 @@ def _interpret() -> bool:
 def _shift_rows_max(m, h, d):
     """max(m, h shifted down by d rows) with -inf fill (no wraparound)."""
     H = h.shape[0]
-    rolled = pltpu.roll(h, shift=d, axis=0) if not _interpret() else \
+    rolled = pltpu.roll(h, shift=d % H, axis=0) if not _interpret() else \
         jnp.roll(h, d, axis=0)
     rows = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0)
     if d > 0:
@@ -43,7 +43,7 @@ def _shift_rows_max(m, h, d):
 
 def _shift_cols_max(m, h, d):
     W = h.shape[1]
-    rolled = pltpu.roll(h, shift=d, axis=1) if not _interpret() else \
+    rolled = pltpu.roll(h, shift=d % W, axis=1) if not _interpret() else \
         jnp.roll(h, d, axis=1)
     cols = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
     if d > 0:
@@ -79,28 +79,52 @@ def grid_nms_pallas(heat: jnp.ndarray, nms_dist: int = 4) -> jnp.ndarray:
     )(heat)
 
 
-def _retrieval_kernel(db_ref, q_ref, mask_ref, sim_ref, best_ref):
+def _retrieval_kernel(chunk: int, db_ref, q_ref, mask_ref, sim_ref, best_ref):
+    i = pl.program_id(0)
     sims = jnp.dot(db_ref[:], q_ref[:],
-                   preferred_element_type=jnp.float32)       # (N, 1)
-    sims = jnp.where(mask_ref[:] > 0, sims, -jnp.inf)
-    best = jnp.argmax(sims[:, 0])
-    best_ref[0] = best.astype(jnp.int32)
-    sim_ref[0] = sims[best, 0]
+                   preferred_element_type=jnp.float32)       # (chunk, 1)
+    sims = jnp.where(mask_ref[:] > 0, sims, -jnp.inf)[:, 0]
+    local_best = jnp.argmax(sims).astype(jnp.int32)
+    local_max = jnp.max(sims)
+
+    @pl.when(i == 0)
+    def _():
+        sim_ref[0] = local_max
+        best_ref[0] = local_best
+
+    @pl.when((i > 0) & (local_max > sim_ref[0]))
+    def _():
+        sim_ref[0] = local_max
+        best_ref[0] = i * chunk + local_best
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("chunk",))
 def retrieval_top1_pallas(db: jnp.ndarray, query: jnp.ndarray,
-                          mask: jnp.ndarray):
-    """Fused (N, D) @ (D,) + masked argmax. Returns (best_idx, best_sim)."""
+                          mask: jnp.ndarray, *, chunk: int = 256):
+    """Fused (N, D) @ (D,) + masked argmax, tiled over DB row chunks.
+
+    The database streams through VMEM one chunk per sequential grid step;
+    the running (best_sim, best_idx) lives in SMEM outputs across steps.
+    Returns (best_idx, best_sim).
+    """
+    N = db.shape[0]
+    chunk = min(chunk, N)
+    grid = pl.cdiv(N, chunk)
     sim, best = pl.pallas_call(
-        _retrieval_kernel,
+        functools.partial(_retrieval_kernel, chunk),
+        grid=(grid,),
         out_shape=(
             jax.ShapeDtypeStruct((1,), jnp.float32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec((chunk, db.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((db.shape[1], 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         interpret=_interpret(),
