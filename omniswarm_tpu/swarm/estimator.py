@@ -60,6 +60,21 @@ class LoopRecord:
     yaw_std: float
 
 
+def loop_key(lp: "LoopRecord") -> Tuple[int, int, int, int]:
+    """Stable cross-node identity of a loop measurement (pair-canonical).
+
+    Plays the role of the reference's LoopEdge.id broadcast in PCM inlier
+    sets (swarm_outlier_rejection.cpp:73-96): peers must agree on which
+    loops an inlier set refers to, so identity is (ordered drone pair,
+    centisecond-quantized endpoint times).
+    """
+    a = (lp.drone_a, int(round(lp.t_a * 100)))
+    b = (lp.drone_b, int(round(lp.t_b * 100)))
+    if (lp.drone_a, lp.drone_b) > (lp.drone_b, lp.drone_a):
+        a, b = b, a
+    return (a[0], a[1], b[0], b[1])
+
+
 @dataclass
 class DetRecord:
     t: float
@@ -85,6 +100,10 @@ class SwarmEstimator:
         self.finish_init = False
         self.last_cost = np.inf
         self.solve_count = 0
+        # PCM decentralization: inlier sets this node computed (broadcast to
+        # peers) and sets received from peers (adopted for foreign pairs).
+        self.pair_inliers: Dict[Tuple[int, int], set] = {}
+        self.external_inliers: Dict[Tuple[int, int], set] = {}
         self._rng = np.random.default_rng(rng_seed)
         self._last_kf_t: Optional[float] = None
 
@@ -278,6 +297,7 @@ class SwarmEstimator:
         """Anchor loops to keyframes; run PCM on the anchored set."""
         p = self.params
         anchored = []
+        anchored_src = []
         for lp in self.loops:
             fa = self._nearest_kf(lp.t_a, lp.drone_a)
             fb = self._nearest_kf(lp.t_b, lp.drone_b)
@@ -302,6 +322,7 @@ class SwarmEstimator:
                                + p.vo_cov_yaw_per_meter * drift))
             anchored.append((fa, idmap[lp.drone_a], fb, idmap[lp.drone_b],
                              dpose, ps, ys))
+            anchored_src.append(lp)
         if not anchored or not p.pcm_enable or p.debug_no_rejection:
             return anchored
 
@@ -321,7 +342,35 @@ class SwarmEstimator:
             self_id=idmap.get(self.self_id, -1), redundant=p.pcm_redundant,
             vo_cov_pos_per_meter=p.vo_cov_pos_per_meter,
             vo_cov_yaw_per_meter=p.vo_cov_yaw_per_meter)
-        return [a for a, ok in zip(anchored, res.good_mask) if ok]
+        good = np.array(res.good_mask)
+
+        inv_idmap = {v: k for k, v in idmap.items()}
+
+        def raw_pair(lp):
+            a, b = lp.drone_a, lp.drone_b
+            return (min(a, b), max(a, b))
+
+        # Record self-computed inlier sets as stable loop keys — these are
+        # what gets broadcast over the LOOP_INLIERS channel.
+        self.pair_inliers = {}
+        for (ca, cb), idx in res.pair_inliers.items():
+            pair = tuple(sorted((inv_idmap[ca], inv_idmap[cb])))
+            if p.pcm_redundant or self.self_id in pair:
+                self.pair_inliers[pair] = {
+                    loop_key(anchored_src[i]) for i in idx}
+
+        # Non-redundant mode: adopt peer-broadcast inlier sets for pairs we
+        # did not compute (outlier_rejection.cpp:122-158 semantics).
+        if not p.pcm_redundant:
+            for i, lp in enumerate(anchored_src):
+                pair = raw_pair(lp)
+                if self.self_id in pair:
+                    continue
+                ext = self.external_inliers.get(pair)
+                if ext is not None:
+                    good[i] = loop_key(lp) in ext
+
+        return [a for a, ok in zip(anchored, good) if ok]
 
     def _vio_grid(self, idmap) -> np.ndarray:
         F, D = len(self.window), len(idmap)

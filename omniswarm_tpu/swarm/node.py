@@ -16,6 +16,7 @@ import numpy as np
 
 from omniswarm_tpu.config import FrontendParams, SolverParams
 from omniswarm_tpu.swarm.comm import (
+    InlierSetPacket,
     KeyframeData,
     LoopEdgePacket,
     LoopNet,
@@ -37,7 +38,8 @@ class DroneNode:
                                      global_dim=global_dim, seed=seed)
         self.net = LoopNet(bus, drone_id,
                            on_keyframe=self._on_remote_keyframe,
-                           on_loop=self._on_loop_edge)
+                           on_loop=self._on_loop_edge,
+                           on_inliers=self._on_inlier_set)
         self.loops_found = 0
         self.loops_received = 0
 
@@ -59,8 +61,16 @@ class DroneNode:
         """Periodic comm scan (the reference's 100 Hz timer)."""
         self.net.scan_recv_packets(t)
 
-    def solve(self):
-        return self.estimator.solve()
+    def solve(self, t: float = 0.0):
+        out = self.estimator.solve()
+        # broadcast the PCM inlier sets this node computed (LOOP_INLIERS
+        # division of labor: peers adopt instead of recomputing,
+        # swarm_outlier_rejection.cpp:73-96)
+        for pair, keys in self.estimator.pair_inliers.items():
+            self.net.broadcast_inlier_set(
+                InlierSetPacket(drone_a=pair[0], drone_b=pair[1],
+                                loop_keys=sorted(keys)), t)
+        return out
 
     # ------------------------------------------------------------------
     def _on_remote_keyframe(self, kf: KeyframeData) -> None:
@@ -73,6 +83,13 @@ class DroneNode:
     def _on_loop_edge(self, pkt: LoopEdgePacket) -> None:
         self.loops_received += 1
         self._ingest_loop(pkt)
+
+    def _on_inlier_set(self, pkt: InlierSetPacket) -> None:
+        pair = (min(pkt.drone_a, pkt.drone_b), max(pkt.drone_a, pkt.drone_b))
+        if self.drone_id in pair:
+            return                      # we compute our own pairs
+        self.estimator.external_inliers[pair] = {
+            tuple(k) for k in pkt.loop_keys}
 
     def _ingest_loop(self, edge: LoopEdgePacket) -> None:
         self.estimator.on_loop(LoopRecord(
