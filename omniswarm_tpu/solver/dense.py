@@ -707,3 +707,94 @@ lm_solve_bt = jax.jit(
     static_argnames=("max_iterations", "huber_delta", "det_sphere_std",
                      "det_inv_dep_std", "function_tolerance"),
 )
+
+
+def lm_solve_bt_batched_impl(graph: DenseGraph, poses0_batch: jnp.ndarray,
+                             *, max_iterations: int = 100,
+                             huber_delta: float = 1.0,
+                             det_sphere_std: float = 0.1,
+                             det_inv_dep_std: float = 0.5,
+                             function_tolerance: float = 1e-6):
+    """Batch-native BT LM: B instances advance in lock-step.
+
+    The while_loop itself is batch-agnostic — assembly and the
+    cyclic-reduction solve are vmapped *inside* the body (cheap to trace:
+    bt_solve is an unrolled log-depth program, not a nested while_loop).
+    """
+    import jax.scipy.linalg as jsl
+
+    from omniswarm_tpu.solver.block_tridiag import bt_solve
+    from omniswarm_tpu.solver.gauss_newton import SolveResult, _apply_step
+
+    F, D = graph.pose_valid.shape
+    m = 4 * D
+    B = poses0_batch.shape[0]
+
+    assemble = jax.vmap(functools.partial(
+        assemble_blocks, graph, huber_delta=huber_delta,
+        det_sphere_std=det_sphere_std, det_inv_dep_std=det_inv_dep_std))
+
+    def smw_solve_one(A, Boff, g, U, lam):
+        diagT = jnp.diagonal(A, axis1=-2, axis2=-1)
+        diagU = jnp.sum(U * U, axis=-1)
+        d = lam * jnp.maximum(diagT + diagU, 1e-6)
+        Ad = A + d[..., None] * jnp.eye(m, dtype=A.dtype)[None]
+        rhs = jnp.concatenate([-g[..., None], U], axis=-1)
+        Y = bt_solve(Ad, Boff, rhs)
+        yb = Y[..., 0]
+        YU = Y[..., 1:]
+        C = U.shape[-1]
+        S = jnp.eye(C, dtype=A.dtype) + jnp.einsum("fmc,fmd->cd", U, YU)
+        Uyb = jnp.einsum("fmc,fm->c", U, yb)
+        Lc, low = jsl.cho_factor(S, lower=True)
+        z = jsl.cho_solve((Lc, low), Uyb)
+        dx = yb - jnp.einsum("fmc,c->fm", YU, z)
+        return dx.reshape(-1)
+
+    smw_solve = jax.vmap(smw_solve_one, in_axes=(0, 0, 0, 0, 0))
+
+    A0, B0, g0, U0, cost0 = assemble(poses0_batch)
+
+    def cond(state):
+        return (~jnp.all(state[-1])) & (state[-2] < max_iterations)
+
+    def body(state):
+        poses, A, Boff, g, U, cost, lam, it, done = state
+        dx = smw_solve(A, Boff, g, U, lam)
+        bad = ~jnp.all(jnp.isfinite(dx), axis=-1)
+        dx = jnp.where(bad[:, None], 0.0, dx)
+        new_poses = jax.vmap(_apply_step)(poses, dx)
+        An, Bn, gn, Un, new_cost = assemble(new_poses)
+        accept = jnp.isfinite(new_cost) & (new_cost < cost) & ~bad & ~done
+
+        def sel(new, old):
+            shape = (B,) + (1,) * (new.ndim - 1)
+            return jnp.where(accept.reshape(shape), new, old)
+
+        poses = sel(new_poses, poses)
+        A = sel(An, A)
+        Boff = sel(Bn, Boff)
+        g = sel(gn, g)
+        U = sel(Un, U)
+        out_cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(done, lam, jnp.clip(
+            jnp.where(accept, lam * 0.3, lam * 5.0), 1e-10, 1e10))
+        converged = accept & (cost - new_cost <= function_tolerance * cost)
+        stalled = (~accept) & (lam >= 1e9) & ~done
+        return (poses, A, Boff, g, U, out_cost, lam, it + 1,
+                done | converged | stalled)
+
+    state0 = (poses0_batch, A0, B0, g0, U0, cost0,
+              jnp.full((B,), 1e-4, poses0_batch.dtype),
+              jnp.zeros((), jnp.int32), jnp.zeros((B,), bool))
+    out = jax.lax.while_loop(cond, body, state0)
+    poses, cost, lam, it = out[0], out[5], out[6], out[7]
+    return SolveResult(poses=poses, cost=cost, initial_cost=cost0,
+                       iterations=it, lam=lam)
+
+
+lm_solve_bt_batched = jax.jit(
+    lm_solve_bt_batched_impl,
+    static_argnames=("max_iterations", "huber_delta", "det_sphere_std",
+                     "det_inv_dep_std", "function_tolerance"),
+)

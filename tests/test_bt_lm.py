@@ -64,3 +64,21 @@ def test_bt_lm_five_drone_100kf():
     res = lm_solve_bt(graph, init, max_iterations=60)
     rel = metrics.mean_relative_ate(np.asarray(res.poses), data.gt)
     assert rel < 0.08, (rel, float(res.cost))
+
+
+def test_bt_batched_matches_single(problem):
+    from omniswarm_tpu.solver.dense import lm_solve_bt_batched
+
+    data, graph, init = problem
+    rng = np.random.default_rng(0)
+    B = 3
+    inits = np.tile(np.asarray(init)[None], (B, 1, 1, 1))
+    inits[1, :, 1:, :3] += rng.normal(0, 0.3, size=(20, 3, 3))
+    inits[2, :, 1:, :3] += rng.normal(0, 0.6, size=(20, 3, 3))
+    rb = lm_solve_bt_batched(graph, jnp.asarray(inits), max_iterations=40)
+    for b in range(B):
+        rs = lm_solve_bt(graph, jnp.asarray(inits[b]), max_iterations=40)
+        np.testing.assert_allclose(float(rb.cost[b]), float(rs.cost),
+                                   rtol=0.05, atol=0.5)
+    rel = metrics.mean_relative_ate(np.asarray(rb.poses[0]), data.gt)
+    assert rel < 0.08, rel
