@@ -164,3 +164,40 @@ class LocalProxy:
         sf = SwarmFrame(t=t)
         sf.nodes[self.self_id] = (pred, vel.copy())
         return sf
+
+
+class TimeSync:
+    """Radio (LPS) ↔ host clock mapping.
+
+    The reference maps UWB local-positioning-system time to ROS time via a
+    TimeReference subscription (LPS2ROSTIME/ROSTIME2LPS,
+    localization_proxy.cpp:808-816). Here: an online least-squares linear
+    fit lps → host over a sliding sample window, robust to offset drift.
+    """
+
+    def __init__(self, window: int = 64):
+        self.window = window
+        self._samples: List[Tuple[float, float]] = []
+        self._a = 1.0     # host ≈ a * lps + b
+        self._b = 0.0
+
+    def add_reference(self, lps_time: float, host_time: float) -> None:
+        self._samples.append((lps_time, host_time))
+        if len(self._samples) > self.window:
+            self._samples.pop(0)
+        if len(self._samples) >= 2:
+            x = np.asarray([s[0] for s in self._samples])
+            y = np.asarray([s[1] for s in self._samples])
+            xm, ym = x.mean(), y.mean()
+            denom = float(np.sum((x - xm) ** 2))
+            self._a = float(np.sum((x - xm) * (y - ym)) / denom) \
+                if denom > 1e-12 else 1.0
+            self._b = float(ym - self._a * xm)
+        elif self._samples:
+            self._b = self._samples[0][1] - self._samples[0][0]
+
+    def lps_to_host(self, lps_time: float) -> float:
+        return self._a * lps_time + self._b
+
+    def host_to_lps(self, host_time: float) -> float:
+        return (host_time - self._b) / self._a

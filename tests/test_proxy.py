@@ -77,3 +77,25 @@ def test_predict_frame_extrapolates():
     sf = p.predict_frame(2.0)
     np.testing.assert_allclose(sf.nodes[0][0], [2.0, 2.0, 2.5, 0.5],
                                atol=1e-6)
+
+
+def test_time_sync_linear_mapping():
+    from omniswarm_tpu.swarm.proxy import TimeSync
+
+    ts = TimeSync()
+    # LPS clock runs at 1.0001x with 1000s offset + jitter
+    rng = np.random.default_rng(0)
+    for k in range(50):
+        lps = k * 0.1
+        host = 1000.0 + lps * 1.0001 + rng.normal(0, 1e-4)
+        ts.add_reference(lps, host)
+    assert abs(ts.lps_to_host(10.0) - (1000.0 + 10.0 * 1.0001)) < 1e-2
+    assert abs(ts.host_to_lps(ts.lps_to_host(3.7)) - 3.7) < 1e-6
+
+
+def test_time_sync_single_sample_offset():
+    from omniswarm_tpu.swarm.proxy import TimeSync
+
+    ts = TimeSync()
+    ts.add_reference(5.0, 105.0)
+    assert abs(ts.lps_to_host(6.0) - 106.0) < 1e-9
