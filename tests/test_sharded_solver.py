@@ -46,3 +46,15 @@ def test_sharded_on_subset_mesh(problem):
     mesh = make_mesh(4)
     res = sharded_lm_solve(graph, init, mesh, max_iterations=20)
     assert np.isfinite(float(res.cost))
+
+
+def test_ten_drone_sharded_scaling():
+    """BASELINE config 5: 10+ drones, factors sharded across the mesh."""
+    params = sim.SimParams(num_drones=10, num_frames=16, seed=9)
+    data = sim.generate(params)
+    graph, init = sim.build_graph_from_sim(data, enable_detections=True)
+    mesh = make_mesh(8)
+    res = sharded_lm_solve(graph, init, mesh, max_iterations=30)
+    rel = metrics.mean_relative_ate(np.asarray(res.poses), data.gt)
+    assert np.isfinite(float(res.cost))
+    assert rel < 0.15, rel
