@@ -192,11 +192,61 @@ class SwarmEstimator:
         i = int(np.argmin(np.abs(ts - t)))
         return hist[i][1]
 
+    def _estimate_observability(self):
+        """Which drones' positions/yaws are observable in this window.
+
+        Mirrors estimate_observability (solver.cpp:1336-1403):
+        - BFS over the loop/detection graph from self — connected drones get
+          position AND yaw observability (loop_observable_set :1299-1334);
+        - if the self drone's motion bounding box is large enough
+          (init_xy/z_movement), everyone becomes position-observable (yaw
+          of range-only drones stays weak and is gauge-frozen).
+        """
+        p = self.params
+        ids = set(self._drone_ids())
+        edges: Dict[int, set] = {d: set() for d in ids}
+        for lp in self.loops:
+            if lp.drone_a in ids and lp.drone_b in ids:
+                edges[lp.drone_a].add(lp.drone_b)
+                edges[lp.drone_b].add(lp.drone_a)
+        for det in self.dets:
+            if det.drone_a in ids and det.drone_b in ids:
+                edges[det.drone_a].add(det.drone_b)
+                edges[det.drone_b].add(det.drone_a)
+        obs = {self.self_id} if self.self_id in ids else set()
+        queue = list(obs)
+        while queue:
+            d = queue.pop()
+            for nb in edges.get(d, ()):
+                if nb not in obs:
+                    obs.add(nb)
+                    queue.append(nb)
+        yaw_obs = set(obs)
+        pos_obs = set(obs)
+
+        # self-motion bounding box unlocks position init for everyone
+        self_pts = [kf.vio[self.self_id][:3] for kf in self.window
+                    if self.self_id in kf.vio]
+        motion_ok = False
+        if len(self_pts) >= 2:
+            pts = np.asarray(self_pts)
+            ext = pts.max(0) - pts.min(0)
+            motion_ok = (ext[0] > p.init_xy_movement
+                         and ext[1] > p.init_xy_movement
+                         and ext[2] > p.init_z_movement)
+        if motion_ok:
+            pos_obs |= ids
+
+        solvable = (len(ids) == 1 and len(self.window) > 5) \
+            or motion_ok or any(d != self.self_id for d in yaw_obs)
+        return pos_obs, yaw_obs, solvable
+
     def _build(self):
         p = self.params
         ids = self._drone_ids()
         self.window_ids = ids
         idmap = {d: i for i, d in enumerate(ids)}
+        pos_obs, yaw_obs, _ = self._estimate_observability()
         F, D = len(self.window), len(ids)
         builder = GraphBuilder(
             F, D,
@@ -215,6 +265,14 @@ class SwarmEstimator:
                 fixed = False
                 if d == self.self_id and first_self_frame is None:
                     first_self_frame = fi
+                    fixed = True
+                # a completely unobservable drone is frozen at its VIO
+                # (enable_to_init_by_drone gating, solver.cpp:1122; yaw
+                # observability needs no separate mask here — every
+                # loop/detection endpoint is in the BFS set by construction,
+                # and range-only drones keep yaw free exactly as the
+                # reference does)
+                if d not in pos_obs:
                     fixed = True
                 builder.set_pose_valid(fi, di, fixed=fixed)
                 init[fi, di] = pose
@@ -274,6 +332,48 @@ class SwarmEstimator:
                     enable_depth=det.enable_depth and p.enable_detection_depth)
 
         return builder.build(), init, idmap
+
+    def _associate_anonymous_detections(self) -> int:
+        """Resolve anonymous detection targets via DA-init DFS.
+
+        Reference: LocalizationDAInit invoked from the solver when
+        enable_data_association (solver.cpp:898-916); successful hypotheses
+        rewrite detection IDs in place (localization_DA_init.cpp:83-87).
+        Returns the number of rewritten detections.
+        """
+        from omniswarm_tpu.robust.da_init import (
+            ANONYMOUS_ID_BASE,
+            rewrite_detections,
+            try_data_association,
+        )
+
+        p = self.params
+        by_frame: Dict[int, List[DetRecord]] = {}
+        for det in self.dets:
+            if det.drone_b >= ANONYMOUS_ID_BASE:
+                fi = self._nearest_kf(det.t, det.drone_a)
+                if fi is not None:
+                    by_frame.setdefault(fi, []).append(det)
+        total = 0
+        for fi, dets in by_frame.items():
+            kf = self.window[fi]
+            # pose hypotheses: best current knowledge — solved estimate if
+            # available for this frame, else raw VIO
+            poses = {}
+            for d, vio_pose in kf.vio.items():
+                if (self.estimate is not None and self.window_ids
+                        and d in self.window_ids
+                        and fi < len(self.estimate)):
+                    poses[d] = self.estimate[fi, self.window_ids.index(d)]
+                else:
+                    poses[d] = vio_pose
+            mapping = try_data_association(
+                dets, poses, accept_thres=p.da_accept_thres,
+                sphere_std=p.detection_sphere_std,
+                inv_dep_std=max(p.detection_inv_dep_std, 0.1))
+            if mapping:
+                total += rewrite_detections(dets, mapping)
+        return total
 
     def _range_outlier(self, fi: int, da: int, db: int, dist: float) -> bool:
         """Estimate-based UWB gating (solver.cpp:408-515)."""
@@ -388,6 +488,12 @@ class SwarmEstimator:
         p = self.params
         if len(self.window) < p.min_frame_number:
             return {"solved": False, "reason": "window too small"}
+        _, _, solvable = self._estimate_observability()
+        if not solvable:
+            return {"solved": False, "reason": "unobservable: no loops and "
+                                               "insufficient self motion"}
+        if p.enable_data_association:
+            self._associate_anonymous_detections()
         graph, init, idmap = self._build()
         F, D = init.shape[:2]
 

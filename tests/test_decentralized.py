@@ -28,9 +28,12 @@ def system():
     fp = FrontendParams(max_db_size=512, min_loop_matches=12,
                         match_index_dist=5, netvlad_thres=0.5,
                         pnp_iterations=128)
+    # init_z_movement relaxed: sim trajectories have little altitude change
+    # (it is a launch-configurable gate in the reference)
     nodes = [DroneNode(d, bus,
                        solver_params=SolverParams(
-                           pcm_redundant=False, max_iterations=60),
+                           pcm_redundant=False, max_iterations=60,
+                           init_z_movement=0.05),
                        frontend_params=fp,
                        global_dim=world.global_dim, seed=d)
              for d in range(D)]
