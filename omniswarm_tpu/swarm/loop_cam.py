@@ -149,3 +149,64 @@ class LoopCam:
                 np.float32),
             local_desc=np.asarray(desc[0], np.float32),
             valid=ok)
+
+
+def yaw_rotate_np(yaw: float, pts: np.ndarray) -> np.ndarray:
+    c, s = np.cos(yaw), np.sin(yaw)
+    out = pts.copy()
+    out[:, 0] = c * pts[:, 0] - s * pts[:, 1]
+    out[:, 1] = s * pts[:, 0] + c * pts[:, 1]
+    return out
+
+
+class OmniLoopCam(LoopCam):
+    """Omnidirectional (multi-direction fisheye) keyframe builder.
+
+    The reference assembles a FisheyeFrameDescriptor_t over up to 4 flattened
+    fisheye directions, each with its own SuperPoint/NetVLAD pass
+    (loop_cam.cpp:178-229), and later rotates correspondences between
+    directions during loop matching (loop_detector.cpp:431-537). Because our
+    loop pipeline operates on *body-frame bearings* (ops/ransac works on unit
+    rays, not pixels), the per-direction bookkeeping collapses: each
+    direction's landmarks are rotated into the body frame at build time and
+    merged into ONE KeyframeData — direction-aligned correspondence
+    gathering becomes unnecessary by construction.
+
+    ``view_yaws`` are each virtual pinhole direction's yaw relative to the
+    body x-axis (default: front/left/back/right).
+    """
+
+    VIEW_YAWS = (0.0, np.pi / 2, np.pi, -np.pi / 2)
+
+    def on_fisheye_frame(self, drone_id: int, frame_id: int, t: float,
+                         vio_pose: np.ndarray,
+                         stereo_pairs, view_yaws=None) -> KeyframeData:
+        """stereo_pairs: sequence of (left, right) grayscale view pairs
+        (up to 4 directions; None entries skipped)."""
+        view_yaws = self.VIEW_YAWS if view_yaws is None else view_yaws
+        parts = []
+        gdescs = []
+        for v, pair in enumerate(stereo_pairs):
+            if pair is None:
+                continue
+            left, right = pair
+            kf_v = self.on_stereo_frame(drone_id, frame_id, t, vio_pose,
+                                        left, right)
+            lm = yaw_rotate_np(view_yaws[v], kf_v.landmarks_3d)
+            parts.append((kf_v.kp_xy, lm, kf_v.local_desc, kf_v.valid))
+            gdescs.append(kf_v.global_desc)
+
+        if not parts:
+            raise ValueError("no valid fisheye views")
+        kp_xy = np.concatenate([p[0] for p in parts], 0)
+        lms = np.concatenate([p[1] for p in parts], 0)
+        descs = np.concatenate([p[2] for p in parts], 0)
+        valid = np.concatenate([p[3] for p in parts], 0)
+        gd = np.mean(gdescs, axis=0)
+        gd = gd / max(np.linalg.norm(gd), 1e-8)
+        return KeyframeData(
+            drone_id=drone_id, frame_id=frame_id, t=t,
+            pose=np.asarray(vio_pose, np.float32),
+            global_desc=gd.astype(np.float32), kp_xy=kp_xy,
+            landmarks_3d=lms.astype(np.float32), local_desc=descs,
+            valid=valid)

@@ -120,3 +120,32 @@ def test_real_models_smoke():
     assert kf.local_desc.shape[1] == p.local_desc_dim
     assert kf.global_desc.shape == (256,)
     assert np.isfinite(kf.landmarks_3d).all()
+
+
+def test_omnidirectional_merge(scene):
+    from omniswarm_tpu.swarm.loop_cam import OmniLoopCam, yaw_rotate_np
+
+    p = FrontendParams(width=400, height=208)
+    intr = CameraIntrinsics(fx=200, fy=200, cx=200, cy=104)
+    baseline = 0.12
+    cam = OmniLoopCam(params=p, intrinsics=intr, baseline=baseline,
+                      keypoint_extractor=FakeKeypointExtractor(
+                          scene, intr, baseline),
+                      global_extractor=FakeGlobalExtractor())
+    blank = np.zeros((208, 400), np.float32)
+    # two directions populated (front + left), two missing
+    kf = cam.on_fisheye_frame(
+        1, 0, 0.0, np.zeros(4),
+        [(blank, blank), (blank, blank), None, None])
+    ok = np.asarray(kf.valid)
+    assert ok.sum() >= 50                      # ~2 views x ~28 landmarks
+    # the left-view landmarks must be the front ones rotated by +90°
+    K = 32
+    front = kf.landmarks_3d[:K]
+    left = kf.landmarks_3d[K:2 * K]
+    ok_f, ok_l = ok[:K], ok[K:2 * K]
+    both = ok_f & ok_l
+    expected_left = yaw_rotate_np(np.pi / 2, front)
+    np.testing.assert_allclose(left[both], expected_left[both], atol=1e-4)
+    # global descriptor unit-norm
+    np.testing.assert_allclose(np.linalg.norm(kf.global_desc), 1.0, atol=1e-5)
