@@ -24,6 +24,7 @@ Behavioral parity notes (re-designed, not translated):
 """
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -485,6 +486,7 @@ class SwarmEstimator:
 
     def solve(self) -> Dict:
         """Run one sliding-window solve; returns a status dict."""
+        t_solve0 = time.perf_counter()
         p = self.params
         if len(self.window) < p.min_frame_number:
             return {"solved": False, "reason": "window too small"}
@@ -535,9 +537,17 @@ class SwarmEstimator:
                 det_sphere_std=p.detection_sphere_std,
                 det_inv_dep_std=p.detection_inv_dep_std)
 
+        jax.block_until_ready(res.poses)
         cost = float(res.cost)
         self.last_cost = cost
         self.solve_count += 1
+        # solve-cost telemetry (reference: /swarm_drones/solving_cost topic +
+        # running-average prints, solver.cpp:954-957)
+        from omniswarm_tpu.utils.telemetry import GLOBAL as _telemetry
+
+        _telemetry.record_ms(
+            "estimator.solve", (time.perf_counter() - t_solve0) * 1e3)
+        _telemetry.count("estimator.solve_count")
         if np.isfinite(cost) and cost < p.acpt_cost:
             self.finish_init = True
             self.estimate = np.asarray(res.poses)

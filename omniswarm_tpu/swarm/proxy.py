@@ -201,3 +201,69 @@ class TimeSync:
 
     def host_to_lps(self, host_time: float) -> float:
         return (host_time - self._b) / self._a
+
+
+# --------------------------------------------------------------------------
+# Fused-state downlinks (ground station / peers)
+# --------------------------------------------------------------------------
+
+# drone u8 | ref u8 | ts_ms i32 | rel pos 3h (mm) | rel yaw h (mrad)
+_FUSED_FMT = struct.Struct("<BBi3hh")
+
+
+@dataclass
+class FusedStatePacket:
+    """Compact fused relative state: drone's pose in ref_drone's frame.
+
+    Counterpart of node_relative_fused / node_based_fused downlinks
+    (localization_proxy.cpp:438-553), throttled round-robin by send freq.
+    """
+
+    drone_id: int
+    ref_drone: int
+    t: float
+    rel_pose: np.ndarray    # (4,)
+
+
+def encode_fused_state(p: FusedStatePacket) -> bytes:
+    mm = np.clip(np.asarray(p.rel_pose[:3]) * 1000, -32768, 32767)
+    return _FUSED_FMT.pack(
+        p.drone_id, p.ref_drone, int(p.t * 1000),
+        int(mm[0]), int(mm[1]), int(mm[2]),
+        int(np.clip(p.rel_pose[3] * 1000, -32768, 32767)))
+
+
+def decode_fused_state(buf: bytes) -> FusedStatePacket:
+    d, r, ts_ms, x, y, z, yaw = _FUSED_FMT.unpack(buf)
+    return FusedStatePacket(
+        drone_id=d, ref_drone=r, t=ts_ms / 1000.0,
+        rel_pose=np.asarray([x / 1000.0, y / 1000.0, z / 1000.0,
+                             yaw / 1000.0]))
+
+
+class FusedDownlink:
+    """Round-robin throttled broadcaster of fused relative states.
+
+    Mirrors the reference's send_swarm_fused_relative round-robin under
+    send_rel_fused_freq (localization_proxy.cpp:438-500): each call emits at
+    most one drone's packet, cycling through the swarm, rate-limited.
+    """
+
+    def __init__(self, self_id: int, send_freq: float = 10.0):
+        self.self_id = self_id
+        self.period = 1.0 / send_freq
+        self._last_send = -np.inf
+        self._rr = 0
+
+    def tick(self, t: float, relative_states: Dict[int, np.ndarray]
+             ) -> Optional[bytes]:
+        """relative_states: drone -> (4,) pose in self frame."""
+        if t - self._last_send < self.period or not relative_states:
+            return None
+        ids = sorted(relative_states)
+        drone = ids[self._rr % len(ids)]
+        self._rr += 1
+        self._last_send = t
+        return encode_fused_state(FusedStatePacket(
+            drone_id=drone, ref_drone=self.self_id, t=t,
+            rel_pose=relative_states[drone]))

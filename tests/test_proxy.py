@@ -99,3 +99,35 @@ def test_time_sync_single_sample_offset():
     ts = TimeSync()
     ts.add_reference(5.0, 105.0)
     assert abs(ts.lps_to_host(6.0) - 106.0) < 1e-9
+
+
+def test_fused_state_codec():
+    from omniswarm_tpu.swarm.proxy import (
+        FusedStatePacket,
+        decode_fused_state,
+        encode_fused_state,
+    )
+
+    p = FusedStatePacket(drone_id=3, ref_drone=0, t=42.125,
+                         rel_pose=np.array([1.234, -5.678, 0.5, 0.789]))
+    out = decode_fused_state(encode_fused_state(p))
+    assert out.drone_id == 3 and out.ref_drone == 0
+    np.testing.assert_allclose(out.t, 42.125, atol=1e-3)
+    np.testing.assert_allclose(out.rel_pose, p.rel_pose, atol=1e-3)
+
+
+def test_fused_downlink_round_robin():
+    from omniswarm_tpu.swarm.proxy import FusedDownlink, decode_fused_state
+
+    dl = FusedDownlink(0, send_freq=10.0)
+    states = {1: np.zeros(4), 2: np.ones(4) * 0.1}
+    sent = []
+    t = 0.0
+    for k in range(40):
+        pkt = dl.tick(t, states)
+        if pkt is not None:
+            sent.append(decode_fused_state(pkt).drone_id)
+        t += 0.025                     # 40 Hz ticks, 10 Hz budget
+    # throttled to ~10 Hz over 1 s → ~10 packets, alternating drones
+    assert 8 <= len(sent) <= 12, len(sent)
+    assert set(sent) == {1, 2}
