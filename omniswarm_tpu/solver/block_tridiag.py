@@ -52,14 +52,38 @@ def _solve_blocks(A, X):
                                            transpose_a=True)
 
 
-def bt_solve(A: jnp.ndarray, B: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
-    """Solve the block-tridiagonal SPD system; returns (F, m, K)."""
+def _dense_bt_solve(A, B, rhs):
+    """Direct solve of a small block-tridiagonal system via one Cholesky."""
+    Fl, m = A.shape[0], A.shape[1]
+    dtype = A.dtype
+    eye_f = jnp.eye(Fl, dtype=dtype)
+    H = jnp.einsum("fij,fg->figj", A, eye_f)
+    if Fl > 1:
+        shift = jnp.eye(Fl, k=1, dtype=dtype)
+        Bpad = jnp.concatenate([B, jnp.zeros((1, m, m), dtype)], 0)
+        H = H + jnp.einsum("fij,fg->figj", Bpad, shift)
+        H = H + jnp.einsum("fij,fg->gjfi", Bpad, shift)
+    H = H.reshape(Fl * m, Fl * m)
+    K = rhs.shape[-1]
+    x = _solve_blocks(H[None], rhs.reshape(1, Fl * m, K))[0]
+    return x.reshape(Fl, m, K)
+
+
+def bt_solve(A: jnp.ndarray, B: jnp.ndarray, rhs: jnp.ndarray, *,
+             direct_threshold: int = 8) -> jnp.ndarray:
+    """Solve the block-tridiagonal SPD system; returns (F, m, K).
+
+    Hybrid: cyclic reduction halves the frame count per level until at most
+    ``direct_threshold`` blocks remain, then one small dense Cholesky
+    finishes the job — trading a trivial amount of FLOPs for ~half the
+    kernel launches (TPU levels are latency-bound at swarm sizes).
+    """
     A, B, rhs, F_orig, F = _pad_pow2(A, B, rhs)
     m = A.shape[1]
 
     # Forward reduction: stack per-level data for back-substitution.
     levels: List[Tuple] = []
-    while A.shape[0] > 1:
+    while A.shape[0] > max(1, direct_threshold):
         Fl = A.shape[0]
         A_odd = A[1::2]                              # (Fl/2, m, m)
         # Solve A_odd^{-1} against everything it multiplies.
@@ -94,7 +118,7 @@ def bt_solve(A: jnp.ndarray, B: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
         levels.append((A_odd, B_left, B_right, rhs_odd))
         A, B, rhs = A_new, B_new, r_new
 
-    x = _solve_blocks(A, rhs)                        # (1, m, K)
+    x = _dense_bt_solve(A, B, rhs)                   # (F_l, m, K)
 
     # Back-substitution.
     for A_odd, B_left, B_right, rhs_odd in reversed(levels):
