@@ -86,10 +86,7 @@ def bt_solve(A: jnp.ndarray, B: jnp.ndarray, rhs: jnp.ndarray, *,
     while A.shape[0] > max(1, direct_threshold):
         Fl = A.shape[0]
         A_odd = A[1::2]                              # (Fl/2, m, m)
-        # One explicit inverse per level, reused for every product — the
-        # blocks are tiny damped-SPD, and a single batched inv beats three
-        # separate factorizations (the solves then ride the MXU as matmuls).
-        Ainv = jnp.linalg.inv(A_odd)
+        # Solve A_odd^{-1} against everything it multiplies.
         B_left = B[0::2]                             # couples 2t ↔ 2t+1
         # B_right couples 2t+1 ↔ 2t+2 (zero for the last odd block)
         B_right = jnp.zeros_like(B_left)
@@ -97,9 +94,9 @@ def bt_solve(A: jnp.ndarray, B: jnp.ndarray, rhs: jnp.ndarray, *,
             B_right = B_right.at[:-1].set(B[1::2])
         rhs_odd = rhs[1::2]
 
-        Ainv_Blt = jnp.einsum("tij,tkj->tik", Ainv, B_left)
-        Ainv_Br = jnp.einsum("tij,tjk->tik", Ainv, B_right)
-        Ainv_r = jnp.einsum("tij,tjk->tik", Ainv, rhs_odd)
+        Ainv_Blt = _solve_blocks(A_odd, jnp.swapaxes(B_left, -1, -2))
+        Ainv_Br = _solve_blocks(A_odd, B_right)
+        Ainv_r = _solve_blocks(A_odd, rhs_odd)
 
         A_even = A[0::2]
         rhs_even = rhs[0::2]
@@ -118,13 +115,13 @@ def bt_solve(A: jnp.ndarray, B: jnp.ndarray, rhs: jnp.ndarray, *,
         r_new = r_new.at[1:].add(
             -jnp.einsum("tji,tjk->tik", B_right, Ainv_r)[:-1])
 
-        levels.append((Ainv, B_left, B_right, rhs_odd))
+        levels.append((A_odd, B_left, B_right, rhs_odd))
         A, B, rhs = A_new, B_new, r_new
 
     x = _dense_bt_solve(A, B, rhs)                   # (F_l, m, K)
 
     # Back-substitution.
-    for Ainv, B_left, B_right, rhs_odd in reversed(levels):
+    for A_odd, B_left, B_right, rhs_odd in reversed(levels):
         # x currently holds even-frame solutions of this level.
         x_even = x
         # x[2t+1] = Ainv[2t+1] (rhs[2t+1] - B[2t]^T x[2t] - B[2t+1] x[2t+2])
@@ -132,7 +129,7 @@ def bt_solve(A: jnp.ndarray, B: jnp.ndarray, rhs: jnp.ndarray, *,
         x_shift = jnp.concatenate(
             [x_even[1:], jnp.zeros_like(x_even[:1])], 0)
         r = r - jnp.einsum("tij,tjk->tik", B_right, x_shift)
-        x_odd = jnp.einsum("tij,tjk->tik", Ainv, r)
+        x_odd = _solve_blocks(A_odd, r)
         Fl2 = x_even.shape[0]
         x = jnp.zeros((2 * Fl2,) + x_even.shape[1:], x_even.dtype)
         x = x.at[0::2].set(x_even)
