@@ -56,3 +56,31 @@ def test_replay_three_drone_real_logs():
     assert np.isfinite(float(res.cost))
     rel = metrics.mean_relative_ate(np.asarray(res.poses), data.gt)
     assert rel < 0.5, rel
+
+
+def test_online_estimator_on_real_logs():
+    """Full online SwarmEstimator over real flight-log replay."""
+    from omniswarm_tpu.config import SolverParams
+    from omniswarm_tpu.swarm import SwarmEstimator
+
+    data = replay_dataset(
+        [(log_path("2019-3-6-fast-circle.csv"), 530.0),
+         (log_path("circle-3s-gc-fix.csv"), 20.0)],
+        num_frames=40, dt=0.5, seed=3)
+    # real circle flights are small-scale; relax the init-motion gates as a
+    # PC-replay launch config would
+    est = SwarmEstimator(SolverParams(self_id=0, pcm_redundant=True,
+                                      init_xy_movement=0.3,
+                                      init_z_movement=0.02))
+    for k in range(40):
+        vio = {d: data.vio[k, d] for d in range(2)}
+        ranges = {(a, b): float(data.ranges[k, a, b])
+                  for a in range(2) for b in range(2)
+                  if a != b and data.range_valid[k, a, b]}
+        est.on_swarm_frame(float(data.times[k]), vio, ranges)
+    out = est.solve()
+    assert out["solved"], out
+    kf_idx = [int(round(kf.t / 0.5)) for kf in est.window]
+    gt = data.gt[kf_idx]
+    rel = metrics.mean_relative_ate(est.estimate, gt)
+    assert rel < 0.35, rel

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Dataset replay evaluation — the loop-5-drone bag_replay:=true analog.
+
+Replays real flight logs (or a Recording .npz) through the full online
+SwarmEstimator at keyframe rate and writes the accuracy report, exactly the
+reference's bag-replay + local_plot evaluation loop
+(README.md:53-60, scripts/local_plot.py).
+
+    python tools/replay_eval.py --logs a.csv:530 b.csv:20 --frames 40 \
+        --out replay_out
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from omniswarm_tpu.config import SolverParams
+    from omniswarm_tpu.eval import metrics
+    from omniswarm_tpu.eval.report import write_report
+    from omniswarm_tpu.io import replay_dataset
+    from omniswarm_tpu.swarm import SwarmEstimator
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--logs", nargs="+", required=True,
+                    help="path:toffset per drone")
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--dt", type=float, default=0.5)
+    ap.add_argument("--out", default="replay_out")
+    ap.add_argument("--solve-every", type=int, default=10)
+    args = ap.parse_args()
+
+    logs = []
+    for spec in args.logs:
+        path, _, off = spec.rpartition(":")
+        logs.append((path, float(off)))
+    data = replay_dataset(logs, num_frames=args.frames, dt=args.dt)
+    D = data.gt.shape[1]
+
+    est = SwarmEstimator(SolverParams(self_id=0, pcm_redundant=True,
+                                      init_z_movement=0.05))
+    for k in range(args.frames):
+        vio = {d: data.vio[k, d] for d in range(D)}
+        ranges = {(a, b): float(data.ranges[k, a, b])
+                  for a in range(D) for b in range(D)
+                  if a != b and data.range_valid[k, a, b]}
+        est.on_swarm_frame(float(data.times[k]), vio, ranges)
+        if (k + 1) % args.solve_every == 0:
+            out = est.solve()
+            print(f"t={data.times[k]:6.1f}s solve: {out}")
+
+    out = est.solve()
+    if not out.get("solved") or est.estimate is None:
+        print(f"final solve failed: {out}")
+        return
+    kf_idx = [int(round(kf.t / args.dt)) for kf in est.window]
+    gt = data.gt[kf_idx]
+    rel = metrics.mean_relative_ate(est.estimate, gt)
+    write_report(args.out, est.estimate, gt,
+                 times=np.asarray(kf_idx, float) * args.dt,
+                 vio=data.vio[kf_idx])
+    print(f"relative ATE {rel * 100:.1f} cm "
+          f"(raw VIO {metrics.mean_relative_ate(data.vio[kf_idx], gt) * 100:.1f} cm)"
+          f" → {args.out}/summary.json")
+
+
+if __name__ == "__main__":
+    main()
