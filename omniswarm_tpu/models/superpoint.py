@@ -35,8 +35,12 @@ class SuperPoint(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """images: (B, H, W, 1) grayscale in [0, 1]."""
+    def __call__(self, images: jnp.ndarray,
+                 return_logits: bool = False):
+        """images: (B, H, W, 1) grayscale in [0, 1].
+
+        Returns (heat, desc) or, with return_logits, (heat, desc, semi)
+        where semi is the raw 65-channel detector logit map (training)."""
         x = images.astype(self.dtype)
         conv = lambda c, k, name: nn.Conv(c, (k, k), padding="SAME",
                                           dtype=self.dtype, name=name)
@@ -56,8 +60,8 @@ class SuperPoint(nn.Module):
 
         # Detector head: 65 = 8x8 cell pixels + dustbin.
         cpa = nn.relu(conv(256, 3, "convPa")(x))
-        semi = conv(65, 1, "convPb")(cpa)                  # (B, Hc, Wc, 65)
-        semi = jax.nn.softmax(semi.astype(jnp.float32), axis=-1)[..., :64]
+        logits = conv(65, 1, "convPb")(cpa).astype(jnp.float32)
+        semi = jax.nn.softmax(logits, axis=-1)[..., :64]   # (B, Hc, Wc, 64)
         B, Hc, Wc, _ = semi.shape
         # depth-to-space: (B, Hc, Wc, 8*8) → (B, Hc*8, Wc*8)
         heat = semi.reshape(B, Hc, Wc, 8, 8)
@@ -68,6 +72,8 @@ class SuperPoint(nn.Module):
         desc = conv(256, 1, "convDb")(cda).astype(jnp.float32)
         desc = desc / jnp.maximum(
             jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-8)
+        if return_logits:
+            return heat, desc, logits
         return heat, desc
 
 
