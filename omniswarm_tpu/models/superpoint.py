@@ -149,3 +149,34 @@ def load_params_npz(path: str) -> Dict:
         params["pca_components"] = jnp.asarray(raw["pca_components"])
         params["pca_mean"] = jnp.asarray(raw["pca_mean"])
     return params
+
+
+def save_flax_npz(params: Dict, path: str) -> None:
+    """Save a flax params pytree as a flat npz (float16 to halve size)."""
+    import numpy as np
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(params["net"] if "net" in params else params,
+                        sep="/")
+    out = {k: np.asarray(v, np.float16) for k, v in flat.items()}
+    for extra in ("pca_components", "pca_mean"):
+        if extra in params:
+            out[f"__{extra}"] = np.asarray(params[extra], np.float16)
+    np.savez_compressed(path, **out)
+
+
+def load_flax_npz(path: str) -> Dict:
+    """Load a flax params pytree saved by save_flax_npz."""
+    import numpy as np
+    from flax.traverse_util import unflatten_dict
+
+    raw = np.load(path)
+    flat = {}
+    params: Dict = {}
+    for k in raw.files:
+        if k.startswith("__"):
+            params[k[2:]] = jnp.asarray(raw[k], jnp.float32)
+        else:
+            flat[k] = jnp.asarray(raw[k], jnp.float32)
+    params["net"] = unflatten_dict(flat, sep="/")
+    return params
