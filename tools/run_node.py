@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Production per-drone node — the swarm_localization_node binary equivalent.
+
+Composes the full onboard stack from a YAML config: LocalProxy (UWB frames +
+fixed-point broadcast), LoopNet over real UDP multicast, LoopDetector,
+SwarmEstimator — and runs the reference's loop cadence: solve at
+``force_freq``, predict at ``predict_freq``, comm scan continuously
+(swarm_localization_node.cpp:182-192, swarm_loop.cpp:390-397).
+
+Measurement input arrives on stdin as JSON lines (one sensor event each) so
+any driver process can feed it:
+
+    {"type": "vio",   "t": 1.0, "pose": [x, y, z, yaw], "vel": [vx, vy, vz]}
+    {"type": "uwb",   "t": 1.0, "distances": {"1": 3.2, "2": 5.1}}
+    {"type": "frame", "t": 1.0, "vio": {"0": [..4..]}, "ranges": [[0,1,3.2]]}
+
+Outputs (fused states, predictions) stream to stdout as JSON lines.
+
+    python tools/run_node.py --config configs/swarm5.yaml --drone-id 0
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--drone-id", type=int, default=None)
+    ap.add_argument("--port", type=int, default=7667)
+    ap.add_argument("--no-udp", action="store_true",
+                    help="disable the multicast transport (solo replay)")
+    args = ap.parse_args()
+
+    from omniswarm_tpu.config import SwarmConfig
+    from omniswarm_tpu.swarm.estimator import SwarmEstimator
+    from omniswarm_tpu.swarm.proxy import FusedDownlink, LocalProxy
+    from omniswarm_tpu.utils.diagnostics import install_crash_handler
+
+    install_crash_handler()
+    cfg = SwarmConfig.from_yaml(args.config)
+    self_id = args.drone_id if args.drone_id is not None else cfg.self_id
+    cfg.solver.self_id = self_id
+
+    estimator = SwarmEstimator(cfg.solver)
+    downlink = FusedDownlink(self_id, send_freq=cfg.solver.predict_freq)
+
+    node = None
+    bus = None
+    if not args.no_udp:
+        try:
+            from omniswarm_tpu.runtime.udp_transport import UdpMulticastBus
+            from omniswarm_tpu.swarm.node import DroneNode
+
+            bus = UdpMulticastBus(port=args.port)
+            node = DroneNode(self_id, bus, solver_params=cfg.solver,
+                             frontend_params=cfg.frontend,
+                             global_dim=cfg.frontend.global_desc_dim)
+            estimator = node.estimator
+        except OSError as e:
+            print(json.dumps({"warn": f"udp unavailable: {e}"}), flush=True)
+
+    proxy = LocalProxy(self_id, on_frame=lambda sf: estimator.on_swarm_frame(
+        sf.t, {d: p for d, (p, _v) in sf.nodes.items()}, sf.ranges))
+
+    last_solve = -np.inf
+    last_predict = -np.inf
+    solve_period = 1.0 / max(cfg.solver.force_freq, 1e-3)
+    predict_period = 1.0 / max(cfg.solver.predict_freq, 1e-3)
+
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            msg = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        t = float(msg.get("t", 0.0))
+        kind = msg.get("type")
+        if kind == "vio":
+            pose = np.asarray(msg["pose"], float)
+            proxy.on_self_odometry(t, pose, np.asarray(
+                msg.get("vel", [0, 0, 0]), float))
+            estimator.on_vio(t, self_id, pose)
+        elif kind == "uwb":
+            distances = {int(k): float(v)
+                         for k, v in msg.get("distances", {}).items()}
+            proxy.on_uwb_tick(t, distances)
+        elif kind == "frame":
+            vio = {int(k): np.asarray(v, float)
+                   for k, v in msg.get("vio", {}).items()}
+            ranges = {(int(a), int(b)): float(v)
+                      for a, b, v in msg.get("ranges", [])}
+            estimator.on_swarm_frame(t, vio, ranges)
+        elif kind == "quit":
+            break
+
+        if bus is not None:
+            bus.step(t)
+        if node is not None:
+            node.step(t)
+
+        if t - last_solve >= solve_period:
+            last_solve = t
+            out = (node.solve(t) if node is not None else estimator.solve())
+            print(json.dumps({"type": "solve", "t": t, **{
+                k: (v if not isinstance(v, float) or np.isfinite(v) else None)
+                for k, v in out.items()}}), flush=True)
+        if t - last_predict >= predict_period and estimator.finish_init:
+            last_predict = t
+            pred = estimator.predict_swarm(t)
+            print(json.dumps({
+                "type": "predict", "t": t,
+                "poses": {str(d): [round(float(x), 4) for x in p]
+                          for d, p in pred.items()}}), flush=True)
+            rel = {d: p for d, p in pred.items() if d != self_id}
+            pkt = downlink.tick(t, rel)
+            _ = pkt  # would go to the narrowband radio driver
+
+    if bus is not None:
+        bus.close()
+
+
+if __name__ == "__main__":
+    main()
