@@ -180,3 +180,27 @@ def load_flax_npz(path: str) -> Dict:
             flat[k] = jnp.asarray(raw[k], jnp.float32)
     params["net"] = unflatten_dict(flat, sep="/")
     return params
+
+
+DEFAULT_WEIGHTS = "weights/superpoint_synthetic.npz"
+
+
+def pretrained_extractor(**kw) -> "SuperPointExtractor":
+    """SuperPointExtractor with the bundled synthetic-trained detector.
+
+    The checkpoint ships with the package (trained by
+    tools/train_superpoint_tool.py on synthetic geometry — the MagicPoint
+    stage); swap in converted original weights via load_params_npz for
+    photographic imagery.
+    """
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), DEFAULT_WEIGHTS)
+    params = load_flax_npz(path)
+    if "pca_components" not in params:
+        key = jax.random.PRNGKey(0)
+        pca_dim = kw.get("pca_dim", 64)
+        params["pca_components"] = jax.random.normal(
+            key, (pca_dim, 256)) / 16.0
+        params["pca_mean"] = jnp.zeros((256,))
+    return SuperPointExtractor(params=params, **kw)

@@ -38,3 +38,23 @@ def test_training_improves_detection():
     # random-weight nets get ~0 recall; trained must find real corners
     assert m["recall"] > 0.25, m
     assert m["precision"] > 0.2, m
+
+
+def test_bundled_checkpoint_detects_corners():
+    from omniswarm_tpu.models.superpoint import pretrained_extractor
+    import jax.numpy as jnp
+
+    ex = pretrained_extractor(height=64, width=96, max_keypoints=50,
+                              threshold=0.015)
+    rng = np.random.default_rng(3)
+    img, corners = render_shapes(rng, 64, 96)
+    xy, scores, desc, valid = ex(jnp.asarray(img[None, :, :, None]))
+    det = np.asarray(xy[0])[np.asarray(valid[0])]
+    assert len(det) >= 3, len(det)
+    # most detections land near true corners
+    hits = 0
+    for x, y in det:
+        if len(corners) and np.min(
+                np.linalg.norm(corners - [x, y], axis=1)) < 4.0:
+            hits += 1
+    assert hits / len(det) > 0.4, (hits, len(det))
