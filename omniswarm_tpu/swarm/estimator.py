@@ -88,8 +88,15 @@ class DetRecord:
 
 class SwarmEstimator:
     def __init__(self, params: Optional[SolverParams] = None, *,
+                 node_configs: Optional[Dict[int, "NodeConfig"]] = None,
                  rng_seed: int = 0):
+        """node_configs: per-drone capability/calibration table
+        (config.NodeConfig ↔ swarm_nodes5.yaml): is_static anchors get
+        zero-motion priors, has_vo=False drops ego-motion chains, and
+        per-pair UWB bias/scale calibrates ranges on ingest
+        (Node::to_real_distance, swarm_localization_node.cpp:88)."""
         self.params = params or SolverParams()
+        self.node_configs = node_configs or {}
         self.self_id = self.params.self_id
         self.window: List[KeyframeRecord] = []
         self.loops: List[LoopRecord] = []
@@ -144,10 +151,20 @@ class SwarmEstimator:
             return False
         kf = KeyframeRecord(
             t=t, vio={d: np.asarray(p, float) for d, p in vio.items()},
-            ranges={k: float(v) for k, v in ranges.items()})
+            ranges={k: self._calibrate_range(k, float(v))
+                    for k, v in ranges.items()})
         self.window.append(kf)
         self._evict()
         return True
+
+    def _calibrate_range(self, pair: Tuple[int, int], dist: float) -> float:
+        """Per-pair UWB bias/scale correction (Node::to_real_distance)."""
+        nc = self.node_configs.get(pair[0])
+        if nc is None:
+            return dist
+        bias = nc.uwb_bias.get(pair[1], 0.0)
+        scale = nc.uwb_scale.get(pair[1], 1.0)
+        return (dist - bias) / max(scale, 1e-6)
 
     def _evict(self) -> None:
         p = self.params
@@ -282,19 +299,32 @@ class SwarmEstimator:
         # ego-motion chains between consecutive frames containing the drone
         for d in ids:
             di = idmap[d]
+            nc = self.node_configs.get(d)
+            is_static = nc is not None and nc.is_static
+            has_vo = nc is None or nc.has_vo
             prev = None
             for fi, kf in enumerate(self.window):
                 if d not in kf.vio:
                     continue
                 if prev is not None:
                     fp, kp = prev
-                    dp = delta_pose_np(kp.vio[d], kf.vio[d])
-                    seg = max(float(np.linalg.norm(dp[:3])), 1e-3)
-                    builder.add_odom(
-                        di, fp, fi, dp,
-                        diag_sqrt_info(
-                            np.sqrt(p.vo_cov_pos_per_meter * seg),
-                            np.sqrt(p.vo_cov_yaw_per_meter * seg)))
+                    if is_static:
+                        # stationary anchor: zero-motion prior (the
+                        # reference aliases the pose blocks outright,
+                        # solver.cpp:291-295; a tight identity factor is
+                        # the masked-grid equivalent)
+                        builder.add_odom(di, fp, fi, np.zeros(4),
+                                         diag_sqrt_info(1e-3, 1e-3))
+                    elif has_vo:
+                        dp = delta_pose_np(kp.vio[d], kf.vio[d])
+                        seg = max(float(np.linalg.norm(dp[:3])), 1e-3)
+                        builder.add_odom(
+                            di, fp, fi, dp,
+                            diag_sqrt_info(
+                                np.sqrt(p.vo_cov_pos_per_meter * seg),
+                                np.sqrt(p.vo_cov_yaw_per_meter * seg)))
+                    # has_vo=False and not static: no motion information —
+                    # the drone floats on ranges/loops alone
                 prev = (fi, kf)
 
         # UWB ranges with estimate-based gating

@@ -29,11 +29,12 @@ class DroneNode:
     def __init__(self, drone_id: int, bus, *,
                  solver_params: Optional[SolverParams] = None,
                  frontend_params: Optional[FrontendParams] = None,
-                 global_dim: int = 4096, seed: int = 0):
+                 node_configs=None, global_dim: int = 4096, seed: int = 0):
         self.drone_id = drone_id
         sp = solver_params or SolverParams()
         sp.self_id = drone_id
-        self.estimator = SwarmEstimator(sp, rng_seed=seed)
+        self.estimator = SwarmEstimator(sp, node_configs=node_configs,
+                                        rng_seed=seed)
         self.detector = LoopDetector(drone_id, frontend_params,
                                      global_dim=global_dim, seed=seed)
         self.net = LoopNet(bus, drone_id,

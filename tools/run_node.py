@@ -50,7 +50,7 @@ def main():
     self_id = args.drone_id if args.drone_id is not None else cfg.self_id
     cfg.solver.self_id = self_id
 
-    estimator = SwarmEstimator(cfg.solver)
+    estimator = SwarmEstimator(cfg.solver, node_configs=cfg.nodes)
     downlink = FusedDownlink(self_id, send_freq=cfg.solver.predict_freq)
 
     node = None
@@ -63,6 +63,7 @@ def main():
             bus = UdpMulticastBus(port=args.port)
             node = DroneNode(self_id, bus, solver_params=cfg.solver,
                              frontend_params=cfg.frontend,
+                             node_configs=cfg.nodes,
                              global_dim=cfg.frontend.global_desc_dim)
             estimator = node.estimator
         except OSError as e:
