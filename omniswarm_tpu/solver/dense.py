@@ -798,3 +798,50 @@ lm_solve_bt_batched = jax.jit(
     static_argnames=("max_iterations", "huber_delta", "det_sphere_std",
                      "det_inv_dep_std", "function_tolerance"),
 )
+
+
+def pose_covariances(graph: DenseGraph, poses: jnp.ndarray,
+                     query: jnp.ndarray, *, huber_delta: float = 1.0,
+                     det_sphere_std: float = 0.1,
+                     det_inv_dep_std: float = 0.5) -> jnp.ndarray:
+    """Marginal 4x4 covariances of selected poses at the solution.
+
+    query: (Q, 2) int array of (frame, drone) indices. Returns (Q, 4, 4)
+    blocks of H^-1 via the same block-tridiagonal + Woodbury machinery
+    (each query pose contributes 4 unit-vector RHS columns). The reference
+    exposes per-drone covariance in its fused outputs
+    (swarm_fused msgs / ceres::Covariance); this is the batched equivalent.
+    """
+    import jax.scipy.linalg as jsl
+
+    from omniswarm_tpu.solver.block_tridiag import bt_solve
+
+    F, D = graph.pose_valid.shape
+    m = 4 * D
+    A, Boff, g, U, _ = assemble_blocks(
+        graph, poses, huber_delta=huber_delta,
+        det_sphere_std=det_sphere_std, det_inv_dep_std=det_inv_dep_std)
+    # tiny ridge keeps gauge-direction singularities finite
+    A = A + 1e-6 * jnp.eye(m, dtype=A.dtype)[None]
+
+    Q = query.shape[0]
+    E = jnp.zeros((F, m, 4 * Q), A.dtype)
+    rows = (query[:, 1, None] * 4 + jnp.arange(4)[None, :])  # (Q, 4)
+    cols = (jnp.arange(Q)[:, None] * 4 + jnp.arange(4)[None, :])
+    E = E.at[query[:, 0, None], rows, cols].set(1.0)
+
+    rhs = jnp.concatenate([E, U], axis=-1)
+    Y = bt_solve(A, Boff, rhs)
+    YE = Y[..., : 4 * Q]
+    YU = Y[..., 4 * Q:]
+    C = U.shape[-1]
+    S = jnp.eye(C, dtype=A.dtype) + jnp.einsum("fmc,fmd->cd", U, YU)
+    UYE = jnp.einsum("fmc,fmq->cq", U, YE)
+    Lc, low = jsl.cho_factor(S, lower=True)
+    Z = jsl.cho_solve((Lc, low), UYE)
+    X = YE - jnp.einsum("fmc,cq->fmq", YU, Z)          # H^-1 E
+    # cov[q] = E_q^T X_q
+    cov = jnp.einsum("fmq,fmp->qp", E, X)              # (4Q, 4Q) gathered
+    cov = cov.reshape(Q, 4, Q, 4)
+    idx = jnp.arange(Q)
+    return cov[idx, :, idx, :]

@@ -1,0 +1,46 @@
+"""Marginal covariance vs dense-H inverse reference."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omniswarm_tpu import sim
+from omniswarm_tpu.solver.dense import (
+    assemble_dense,
+    dense_graph_from_sim,
+    lm_solve_bt,
+    pose_covariances,
+)
+
+
+@pytest.fixture(scope="module")
+def solved():
+    data = sim.generate(sim.SimParams(num_drones=3, num_frames=12, seed=121))
+    graph = dense_graph_from_sim(data)
+    res = lm_solve_bt(graph, jnp.asarray(data.vio, jnp.float32),
+                      max_iterations=50)
+    return data, graph, res.poses
+
+
+def test_covariance_matches_dense_inverse(solved):
+    data, graph, poses = solved
+    F, D = graph.pose_valid.shape
+    query = jnp.asarray([[5, 1], [11, 2], [0, 1]], jnp.int32)
+    cov = np.asarray(pose_covariances(graph, poses, query))
+    H, _, _ = assemble_dense(graph, poses)
+    Hinv = np.linalg.inv(np.asarray(H) + 1e-6 * np.eye(H.shape[0]))
+    for q, (f, d) in enumerate([(5, 1), (11, 2), (0, 1)]):
+        i = 4 * (f * D + d)
+        ref = Hinv[i:i + 4, i:i + 4]
+        np.testing.assert_allclose(cov[q], ref, rtol=0.05, atol=5e-4)
+
+
+def test_covariance_properties(solved):
+    data, graph, poses = solved
+    query = jnp.asarray([[3, 0], [3, 1]], jnp.int32)
+    cov = np.asarray(pose_covariances(graph, poses, query))
+    # symmetric positive semidefinite, sane magnitudes (cm-scale std devs)
+    for c in cov:
+        np.testing.assert_allclose(c, c.T, atol=1e-5)
+        w = np.linalg.eigvalsh(c)
+        assert (w > -1e-6).all()
+        assert np.sqrt(np.abs(np.diag(c)[:3])).max() < 1.0
