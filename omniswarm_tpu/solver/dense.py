@@ -89,9 +89,10 @@ def _range_terms(graph: DenseGraph, poses, huber_delta):
     t = poses[..., :3]
     diff = t[:, :, None, :] - t[:, None, :, :]          # (F, D, D, 3)
     dist = jnp.sqrt(jnp.sum(diff * diff, -1) + 1e-12)
-    si = graph.range_sqrt_inf
+    si = jnp.asarray(graph.range_sqrt_inf)
     r = (dist - graph.range_dist) * si
     u = diff / dist[..., None]
+    si = si[..., None]      # broadcast over the xyz axis (scalar or grid)
     w = jnp.where(jnp.abs(r) <= huber_delta, 1.0,
                   huber_delta / jnp.maximum(jnp.abs(r), 1e-12))
     w = w * graph.range_valid.astype(poses.dtype)
@@ -845,3 +846,93 @@ def pose_covariances(graph: DenseGraph, poses: jnp.ndarray,
     cov = cov.reshape(Q, 4, Q, 4)
     idx = jnp.arange(Q)
     return cov[idx, :, idx, :]
+
+
+def dense_from_factor_graph(fg) -> Optional[DenseGraph]:
+    """Convert a generic FactorGraph to a DenseGraph when its structure fits.
+
+    Requirements: ego-motion factors connect consecutive frames of one
+    drone with diagonal sqrt info; detections are same-frame with zero
+    dpose corrections. Returns None when any factor violates the frame
+    structure (the caller falls back to the generic scatter path).
+    """
+    import numpy as np
+
+    pv = np.asarray(fg.pose_valid)
+    F, D = pv.shape
+
+    # --- odometry chain ------------------------------------------------
+    o = fg.odoms
+    ov = np.asarray(o.valid)
+    rows = np.flatnonzero(ov)
+    fa = np.asarray(o.frame_a)[rows]
+    fb = np.asarray(o.frame_b)[rows]
+    da = np.asarray(o.drone_a)[rows]
+    db = np.asarray(o.drone_b)[rows]
+    if rows.size and (np.any(da != db) or np.any(fb != fa + 1)):
+        return None
+    si_full = np.asarray(o.sqrt_info)[rows]
+    if rows.size and np.abs(
+            si_full - np.einsum("kij,ij->kij", si_full, np.eye(4))).max() > 1e-6:
+        return None
+    odom_dpose = np.zeros((max(F - 1, 1), D, 4), np.float32)
+    odom_si = np.zeros((max(F - 1, 1), D, 4), np.float32)
+    odom_valid = np.zeros((max(F - 1, 1), D), bool)
+    odom_dpose[fa, da] = np.asarray(o.dpose)[rows]
+    odom_si[fa, da] = np.einsum("kii->ki", si_full)
+    odom_valid[fa, da] = True
+
+    # --- ranges --------------------------------------------------------
+    r = fg.ranges
+    rv = np.asarray(r.valid)
+    rrows = np.flatnonzero(rv)
+    range_dist = np.zeros((F, D, D), np.float32)
+    range_si = np.zeros((F, D, D), np.float32)
+    range_valid = np.zeros((F, D, D), bool)
+    rf = np.asarray(r.frame)[rrows]
+    ra = np.asarray(r.drone_a)[rrows]
+    rb = np.asarray(r.drone_b)[rrows]
+    lo, hi = np.minimum(ra, rb), np.maximum(ra, rb)
+    range_dist[rf, lo, hi] = np.asarray(r.dist)[rrows]
+    range_si[rf, lo, hi] = np.asarray(r.sqrt_inf)[rrows]
+    range_valid[rf, lo, hi] = True
+
+    # --- detections ----------------------------------------------------
+    d = fg.dets
+    dv = np.asarray(d.valid)
+    drows = np.flatnonzero(dv)
+    dfa = np.asarray(d.frame_a)[drows]
+    dfb = np.asarray(d.frame_b)[drows]
+    if drows.size and np.any(dfa != dfb):
+        return None
+    if drows.size and (np.abs(np.asarray(d.dpose_a)[drows]).max() > 1e-9
+                       or np.abs(np.asarray(d.dpose_b)[drows]).max() > 1e-9):
+        return None
+    dda = np.asarray(d.drone_a)[drows]
+    ddb = np.asarray(d.drone_b)[drows]
+    det_dir = np.zeros((F, D, D, 3), np.float32)
+    det_tb = np.zeros((F, D, D, 2, 3), np.float32)
+    det_invdep = np.zeros((F, D, D), np.float32)
+    det_valid = np.zeros((F, D, D), bool)
+    det_depth = np.zeros((F, D, D), bool)
+    det_dir[dfa, dda, ddb] = np.asarray(d.direction)[drows]
+    det_tb[dfa, dda, ddb] = np.asarray(d.tangent_base)[drows]
+    det_invdep[dfa, dda, ddb] = np.asarray(d.inv_dep)[drows]
+    det_valid[dfa, dda, ddb] = True
+    det_depth[dfa, dda, ddb] = np.asarray(d.enable_depth)[drows]
+
+    return DenseGraph(
+        range_dist=jnp.asarray(range_dist),
+        range_valid=jnp.asarray(range_valid),
+        range_sqrt_inf=jnp.asarray(range_si),
+        odom_dpose=jnp.asarray(odom_dpose),
+        odom_sqrt_info=jnp.asarray(odom_si),
+        odom_valid=jnp.asarray(odom_valid),
+        det_dir=jnp.asarray(det_dir), det_tb=jnp.asarray(det_tb),
+        det_invdep=jnp.asarray(det_invdep),
+        det_valid=jnp.asarray(det_valid),
+        det_has_depth=jnp.asarray(det_depth),
+        loops=fg.loops,
+        pose_valid=fg.pose_valid, pose_fixed=fg.pose_fixed,
+        yaw_fixed=fg.yaw_fixed,
+    )

@@ -538,8 +538,22 @@ class SwarmEstimator:
             warm[:Fp, :Dp] = self.estimate[-Fp:, :Dp]
             init = warm
 
+        # Prefer the block-tridiagonal production solver when the window's
+        # factor structure fits its frame layout; fall back to the generic
+        # scatter path otherwise (e.g. cross-frame detections).
+        from omniswarm_tpu.solver.dense import (
+            dense_from_factor_graph,
+            lm_solve_bt,
+            lm_solve_bt_batched,
+        )
+
+        dense_graph = dense_from_factor_graph(graph)
+        solve_kw = dict(max_iterations=p.max_iterations,
+                        det_sphere_std=p.detection_sphere_std,
+                        det_inv_dep_std=p.detection_inv_dep_std)
+
         if not self.finish_init:
-            # vmapped multi-trial random init (solve_with_multiple_init)
+            # batched multi-trial random init (solve_with_multiple_init)
             B = p.init_random_trials + 1
             inits = np.tile(init[None], (B, 1, 1, 1))
             # Randomize only non-self drones (the reference's random init
@@ -555,17 +569,23 @@ class SwarmEstimator:
                 if self_col is not None:
                     jitter[:, self_col, :] = 0.0
                 inits[b] = init + jitter
-            res = lm_solve_multi_init(
-                graph, jnp.asarray(inits),
-                max_iterations=p.max_iterations,
-                det_sphere_std=p.detection_sphere_std,
-                det_inv_dep_std=p.detection_inv_dep_std)
+            if dense_graph is not None:
+                batch = lm_solve_bt_batched(dense_graph, jnp.asarray(inits),
+                                            **solve_kw)
+                costs = np.asarray(batch.cost)
+                best = int(np.nanargmin(
+                    np.where(np.isfinite(costs), costs, np.inf)))
+                res = jax.tree_util.tree_map(lambda x: x[best]
+                                             if x.ndim else x, batch)
+                res = res._replace(iterations=batch.iterations)
+            else:
+                res = lm_solve_multi_init(graph, jnp.asarray(inits),
+                                          **solve_kw)
         else:
-            res = lm_solve(
-                graph, jnp.asarray(init),
-                max_iterations=p.max_iterations,
-                det_sphere_std=p.detection_sphere_std,
-                det_inv_dep_std=p.detection_inv_dep_std)
+            if dense_graph is not None:
+                res = lm_solve_bt(dense_graph, jnp.asarray(init), **solve_kw)
+            else:
+                res = lm_solve(graph, jnp.asarray(init), **solve_kw)
 
         jax.block_until_ready(res.poses)
         cost = float(res.cost)
