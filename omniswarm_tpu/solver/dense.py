@@ -845,7 +845,14 @@ def pose_covariances(graph: DenseGraph, poses: jnp.ndarray,
     cov = jnp.einsum("fmq,fmp->qp", E, X)              # (4Q, 4Q) gathered
     cov = cov.reshape(Q, 4, Q, 4)
     idx = jnp.arange(Q)
-    return cov[idx, :, idx, :]
+    out = cov[idx, :, idx, :]
+    # fixed/invalid params carry a placeholder unit diagonal in H — their
+    # true (conditioned-on) covariance is zero
+    free = graph.pose_valid & ~graph.pose_fixed
+    m4 = jnp.repeat(free[..., None], 4, -1)
+    m4 = m4.at[..., 3].set(m4[..., 3] & ~graph.yaw_fixed)
+    qmask = m4[query[:, 0], query[:, 1]].astype(out.dtype)   # (Q, 4)
+    return out * qmask[:, :, None] * qmask[:, None, :]
 
 
 def dense_from_factor_graph(fg) -> Optional[DenseGraph]:

@@ -588,6 +588,7 @@ class SwarmEstimator:
                 res = lm_solve(graph, jnp.asarray(init), **solve_kw)
 
         jax.block_until_ready(res.poses)
+        self._last_dense_graph = dense_graph
         cost = float(res.cost)
         self.last_cost = cost
         self.solve_count += 1
@@ -607,6 +608,25 @@ class SwarmEstimator:
                 "iterations": int(res.iterations),
                 "finish_init": self.finish_init,
                 "num_frames": F, "num_drones": D}
+
+    def pose_covariance(self, drone: int,
+                        frame: Optional[int] = None) -> Optional[np.ndarray]:
+        """Marginal 4x4 covariance of a drone's pose at a window frame
+        (newest by default). Uses the last solve's dense graph; the
+        reference publishes the analogous covariance in its fused outputs."""
+        from omniswarm_tpu.solver.dense import pose_covariances
+
+        if (self.estimate is None
+                or getattr(self, "_last_dense_graph", None) is None
+                or drone not in self.window_ids):
+            return None
+        di = self.window_ids.index(drone)
+        fi = len(self.estimate) - 1 if frame is None else frame
+        cov = pose_covariances(
+            self._last_dense_graph,
+            jnp.asarray(self.estimate, jnp.float32),
+            jnp.asarray([[fi, di]], jnp.int32))
+        return np.asarray(cov[0])
 
     # ------------------------------------------------------------------
     # Forward propagation (never touches the optimizer)

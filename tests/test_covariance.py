@@ -44,3 +44,26 @@ def test_covariance_properties(solved):
         w = np.linalg.eigvalsh(c)
         assert (w > -1e-6).all()
         assert np.sqrt(np.abs(np.diag(c)[:3])).max() < 1.0
+
+
+def test_estimator_pose_covariance():
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_estimator import feed_sim
+
+    from omniswarm_tpu.config import SolverParams
+    from omniswarm_tpu.swarm import SwarmEstimator
+
+    data = sim.generate(sim.SimParams(num_drones=3, num_frames=20, seed=131))
+    est = SwarmEstimator(SolverParams(self_id=0, pcm_redundant=True))
+    feed_sim(est, data, 20)
+    out = est.solve()
+    assert out["solved"], out
+    cov = est.pose_covariance(1)
+    assert cov is not None and cov.shape == (4, 4)
+    stds = np.sqrt(np.abs(np.diag(cov)))
+    assert (stds[:3] < 0.5).all(), stds       # sub-half-meter position std
+    # the gauge-anchored self drone at its first frame is exactly fixed
+    cov0 = est.pose_covariance(0, frame=0)
+    assert np.abs(cov0).max() < 1e-9
