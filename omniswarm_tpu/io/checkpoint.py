@@ -9,7 +9,6 @@ rosbag record/replay without replaying.
 """
 from __future__ import annotations
 
-import io as _io
 import json
 from typing import TYPE_CHECKING
 

@@ -14,7 +14,7 @@ trajectories.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -23,7 +23,6 @@ from omniswarm_tpu.sim.simulator import (
     SimParams,
     delta_pose_np,
     pose_mul_np,
-    wrap,
 )
 
 

@@ -17,7 +17,7 @@ Differences from the reference pipeline (by design, not omission):
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax

@@ -15,8 +15,7 @@ enough to make descriptors locally discriminative).
 """
 from __future__ import annotations
 
-import functools
-from typing import Dict, Iterator, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ shards ONE problem's factors): here we shard ACROSS problems.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

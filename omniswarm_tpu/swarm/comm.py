@@ -25,7 +25,7 @@ PCA floats; quantization keeps the same recall at 4x less bandwidth).
 from __future__ import annotations
 
 import heapq
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np

@@ -33,11 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from omniswarm_tpu.config import SolverParams
-from omniswarm_tpu.robust.pcm import (
-    LoopSet,
-    loopset_from_measurements,
-    pcm_filter,
-)
+from omniswarm_tpu.robust.pcm import loopset_from_measurements, pcm_filter
 from omniswarm_tpu.sim.simulator import delta_pose_np, pose_mul_np, wrap
 from omniswarm_tpu.solver.graph import GraphBuilder, diag_sqrt_info
 from omniswarm_tpu.solver.gauss_newton import lm_solve, lm_solve_multi_init
@@ -259,6 +255,10 @@ class SwarmEstimator:
             or motion_ok or any(d != self.self_id for d in yaw_obs)
         return pos_obs, yaw_obs, solvable
 
+    @staticmethod
+    def _bucket(n: int, step: int) -> int:
+        return max(step, ((n + step - 1) // step) * step)
+
     def _build(self):
         p = self.params
         ids = self._drone_ids()
@@ -266,14 +266,18 @@ class SwarmEstimator:
         idmap = {d: i for i, d in enumerate(ids)}
         pos_obs, yaw_obs, _ = self._estimate_observability()
         F, D = len(self.window), len(ids)
+        # Bucket all static shapes so the jitted solver compiles once per
+        # bucket, not once per window size — the sliding window growing
+        # 1→100 keyframes online would otherwise recompile every solve.
+        Fb = self._bucket(F, 8)
         builder = GraphBuilder(
-            F, D,
-            max_ranges=max(F * D * D, 8),
-            max_odoms=max(F * D, 8),
-            max_loops=max(len(self.loops) + len(self.dets), 8),
-            max_dets=max(len(self.dets), 8),
+            Fb, D,
+            max_ranges=self._bucket(Fb * D * D, 64),
+            max_odoms=self._bucket(Fb * D, 64),
+            max_loops=self._bucket(len(self.loops) + len(self.dets), 64),
+            max_dets=self._bucket(len(self.dets), 64),
         )
-        init = np.zeros((F, D, 4), np.float32)
+        init = np.zeros((Fb, D, 4), np.float32)
 
         # pose validity + init values from VIO (warm start handled later)
         first_self_frame = None
@@ -589,6 +593,7 @@ class SwarmEstimator:
 
         jax.block_until_ready(res.poses)
         self._last_dense_graph = dense_graph
+        self._last_padded_poses = np.asarray(res.poses)
         cost = float(res.cost)
         self.last_cost = cost
         self.solve_count += 1
@@ -601,7 +606,8 @@ class SwarmEstimator:
         _telemetry.count("estimator.solve_count")
         if np.isfinite(cost) and cost < p.acpt_cost:
             self.finish_init = True
-            self.estimate = np.asarray(res.poses)
+            # trim shape-bucket padding rows back to the real window
+            self.estimate = np.asarray(res.poses)[:len(self.window)]
         else:
             self.finish_init = False     # trigger re-init next solve
         return {"solved": True, "cost": cost,
@@ -624,7 +630,7 @@ class SwarmEstimator:
         fi = len(self.estimate) - 1 if frame is None else frame
         cov = pose_covariances(
             self._last_dense_graph,
-            jnp.asarray(self.estimate, jnp.float32),
+            jnp.asarray(self._last_padded_poses, jnp.float32),
             jnp.asarray([[fi, di]], jnp.int32))
         return np.asarray(cov[0])
 

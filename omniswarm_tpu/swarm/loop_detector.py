@@ -24,8 +24,8 @@ LoopEdgePacket-shaped records ready for broadcast + the back-end.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +35,7 @@ from omniswarm_tpu.config import FrontendParams
 from omniswarm_tpu.ops import placedb
 from omniswarm_tpu.ops.matching import mutual_match
 from omniswarm_tpu.ops.ransac import pnp_ransac_4dof
-from omniswarm_tpu.sim.simulator import delta_pose_np, pose_mul_np, wrap
+from omniswarm_tpu.sim.simulator import delta_pose_np, wrap
 from omniswarm_tpu.swarm.comm import KeyframeData, LoopEdgePacket
 
 

@@ -14,7 +14,6 @@ import faulthandler
 import signal
 import sys
 import threading
-from typing import Optional
 
 
 def install_crash_handler(*, also_usr1: bool = True) -> None:
