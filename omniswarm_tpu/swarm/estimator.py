@@ -664,6 +664,22 @@ class SwarmEstimator:
                 out[d] = p
         return out
 
+    def predict_swarm_relative(self, t: float) -> Dict[int, np.ndarray]:
+        """Predicted poses of every drone in the SELF drone's current frame.
+
+        The reference's /swarm_drones/swarm_drone_fused_relative output
+        (pub_fused_relative, swarm_localization_node.cpp:351-422) — what
+        formation planners consume.
+        """
+        pred = self.predict_swarm(t)
+        if self.self_id not in pred:
+            return {}
+        ps = pred[self.self_id]
+        out = {}
+        for d, pose in pred.items():
+            out[d] = delta_pose_np(ps, pose)
+        return out
+
     def base_coordinates(self) -> Dict[int, np.ndarray]:
         """Per-drone base-frame offset: est ∘ vio^-1 at the newest keyframe.
 

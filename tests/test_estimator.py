@@ -97,3 +97,19 @@ def test_base_coordinates(data):
     assert set(bc) == set(est.window_ids)
     # self drone's offset should be ~identity (it is anchored to its VIO)
     np.testing.assert_allclose(bc[0][:3], 0.0, atol=0.3)
+
+
+def test_predict_relative_frame(data):
+    est = SwarmEstimator(SolverParams(self_id=0, pcm_redundant=True))
+    feed_sim(est, data, 25)
+    est.solve()
+    rel = est.predict_swarm_relative(float(data.times[24]))
+    assert 0 in rel
+    np.testing.assert_allclose(rel[0], 0.0, atol=1e-6)   # self is origin
+    # relative estimates approximate GT relative poses
+    for d, pose in rel.items():
+        if d == 0:
+            continue
+        gt_rel = np.linalg.norm(data.gt[24, d, :3] - data.gt[24, 0, :3])
+        est_rel = np.linalg.norm(pose[:3])
+        assert abs(est_rel - gt_rel) < 0.5, (d, est_rel, gt_rel)
