@@ -62,11 +62,10 @@ def lm_solve_multigraph_impl(graphs: DenseGraph, poses0: jnp.ndarray, *,
         Y = bt_solve(Ad, Boff, rhs)
         yb, YU = Y[..., 0], Y[..., 1:]
         C = U.shape[-1]
-        from omniswarm_tpu.solver.dense import _spd_solve_cg
-
         S = jnp.eye(C, dtype=A.dtype) + jnp.einsum("fmc,fmd->cd", U, YU)
         Uyb = jnp.einsum("fmc,fm->c", U, yb)
-        z = _spd_solve_cg(S, Uyb)
+        Lc, low = jsl.cho_factor(S, lower=True)
+        z = jsl.cho_solve((Lc, low), Uyb)
         return (yb - jnp.einsum("fmc,c->fm", YU, z)).reshape(-1)
 
     smw_solve = jax.vmap(smw_solve_one)

@@ -630,38 +630,6 @@ def assemble_blocks(graph: DenseGraph, poses: jnp.ndarray, *,
     return A, Boff, gflat, U, cost
 
 
-
-
-def _spd_solve_cg(S: jnp.ndarray, b: jnp.ndarray, iters: int = 48) -> jnp.ndarray:
-    """Conjugate-gradient solve of the Woodbury capacitance system S z = b.
-
-    S = I + U^T T^-1 U is SPD with eigenvalues >= 1, so plain CG converges
-    fast; unlike the batched Cholesky custom call, CG is nothing but (C, C)
-    matvecs on the MXU (and vmaps/batches for free). Used in the LM step
-    where direction accuracy is protected by accept/reject; the covariance
-    path keeps the exact factorization.
-    """
-    x = jnp.zeros_like(b)
-    r = b
-    p = r
-    rs = jnp.dot(r, r)
-
-    def body(i, carry):
-        x, r, p, rs = carry
-        Sp = S @ p
-        denom = jnp.dot(p, Sp)
-        alpha = rs / jnp.maximum(denom, 1e-20)
-        x = x + alpha * p
-        r = r - alpha * Sp
-        rs_new = jnp.dot(r, r)
-        beta = rs_new / jnp.maximum(rs, 1e-20)
-        p = r + beta * p
-        return x, r, p, rs_new
-
-    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, p, rs))
-    return x
-
-
 def lm_solve_bt_impl(graph: DenseGraph, poses0: jnp.ndarray, *,
                      max_iterations: int = 100, huber_delta: float = 1.0,
                      det_sphere_std: float = 0.1,
@@ -700,7 +668,8 @@ def lm_solve_bt_impl(graph: DenseGraph, poses0: jnp.ndarray, *,
         S = jnp.eye(C, dtype=A.dtype) + jnp.einsum(
             "fmc,fmd->cd", U, YU)
         Uyb = jnp.einsum("fmc,fm->c", U, yb)
-        z = _spd_solve_cg(S, Uyb)
+        Lc, low = jsl.cho_factor(S, lower=True)
+        z = jsl.cho_solve((Lc, low), Uyb)
         dx = yb - jnp.einsum("fmc,c->fm", YU, z)
         return dx.reshape(F, D, 4).reshape(-1)
 
@@ -778,7 +747,8 @@ def lm_solve_bt_batched_impl(graph: DenseGraph, poses0_batch: jnp.ndarray,
         C = U.shape[-1]
         S = jnp.eye(C, dtype=A.dtype) + jnp.einsum("fmc,fmd->cd", U, YU)
         Uyb = jnp.einsum("fmc,fm->c", U, yb)
-        z = _spd_solve_cg(S, Uyb)
+        Lc, low = jsl.cho_factor(S, lower=True)
+        z = jsl.cho_solve((Lc, low), Uyb)
         dx = yb - jnp.einsum("fmc,c->fm", YU, z)
         return dx.reshape(-1)
 
