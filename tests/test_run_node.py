@@ -33,7 +33,7 @@ def test_run_node_process(tmp_path):
     cfgp.write_text("""
 self_id: 0
 solver: {init_z_movement: 0.05, pcm_redundant: true, max_iterations: 40,
-         force_freq: 0.2}
+         force_freq: 0.1}
 """)
     lines = []
     for k in range(20):
@@ -54,7 +54,7 @@ solver: {init_z_movement: 0.05, pcm_redundant: true, max_iterations: 40,
         [sys.executable, os.path.join(REPO, "tools", "run_node.py"),
          "--config", str(cfgp), "--no-udp"],
         input="\n".join(lines), capture_output=True, text=True,
-        timeout=300, env=env)
+        timeout=600, env=env)
     assert proc.returncode == 0, proc.stderr[-2000:]
     outs = [json.loads(l) for l in proc.stdout.splitlines() if l.strip()]
     solves = [o for o in outs if o.get("type") == "solve"]

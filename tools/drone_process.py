@@ -19,7 +19,13 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+
+if os.environ.get("OMNISWARM_TPU") != "1":
+    # Host-side orchestration runs on CPU by default — the environment may
+    # preload a (slow, tunneled) TPU plugin via sitecustomize. Set
+    # OMNISWARM_TPU=1 to let the solver use the accelerator.
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
