@@ -212,6 +212,43 @@ def _param_mask_dense(graph: DenseGraph, dtype) -> jnp.ndarray:
     return m.reshape(-1).astype(dtype)
 
 
+
+def _relpose_terms_analytic(pa, pb, dpose_meas, sqrt_info):
+    """Batched analytic residual + Jacobians for 4-DoF relpose factors.
+
+    Same closed form as the odometry chain (_odom_terms) generalized to a
+    full (4, 4) sqrt information: e = meas - delta(a, b), r = S e,
+    J = S @ (∂e/∂pose). Replaces the vmapped jacfwd evaluation.
+    Shapes: pa/pb/dpose (L, 4), sqrt_info (L, 4, 4) → r (L, 4),
+    Ja/Jb (L, 4, 4).
+    """
+    delta = geo.delta_pose(pa, pb)
+    e = dpose_meas - delta
+    e = e.at[..., 3].set(geo.normalize_angle(e[..., 3]))
+    r = jnp.einsum("kij,kj->ki", sqrt_info, e)
+
+    c = jnp.cos(pa[..., 3])
+    sn = jnp.sin(pa[..., 3])
+    zero = jnp.zeros_like(c)
+    one = jnp.ones_like(c)
+    dx_, dy_ = delta[..., 0], delta[..., 1]
+    Ua = jnp.stack([
+        jnp.stack([c, sn, zero, -dy_], -1),
+        jnp.stack([-sn, c, zero, dx_], -1),
+        jnp.stack([zero, zero, one, zero], -1),
+        jnp.stack([zero, zero, zero, one], -1),
+    ], -2)
+    Ub = jnp.stack([
+        jnp.stack([-c, -sn, zero, zero], -1),
+        jnp.stack([sn, -c, zero, zero], -1),
+        jnp.stack([zero, zero, -one, zero], -1),
+        jnp.stack([zero, zero, zero, -one], -1),
+    ], -2)
+    Ja = jnp.einsum("kij,kjl->kil", sqrt_info, Ua)
+    Jb = jnp.einsum("kij,kjl->kil", sqrt_info, Ub)
+    return r, Ja, Jb
+
+
 def assemble_dense(graph: DenseGraph, poses: jnp.ndarray, *,
                    huber_delta: float = 1.0, det_sphere_std: float = 0.1,
                    det_inv_dep_std: float = 0.5,
@@ -582,14 +619,14 @@ def assemble_blocks(graph: DenseGraph, poses: jnp.ndarray, *,
     poses_flat = poses.reshape(N, 4)
     pa = poses_flat[l.frame_a * D + l.drone_a]
     pb = poses_flat[l.frame_b * D + l.drone_b]
-    ev = fx.relpose_eval(pa, pb, l.dpose, l.sqrt_info)
-    w_l = fx.huber_weight(ev.residual, huber_delta)
+    r_l, Ja_l, Jb_l = _relpose_terms_analytic(pa, pb, l.dpose, l.sqrt_info)
+    w_l = fx.huber_weight(r_l, huber_delta)
     cost += 0.5 * jnp.sum(jnp.where(
-        l.valid, fx.huber_rho(jnp.sum(ev.residual**2, -1), huber_delta), 0.0))
+        l.valid, fx.huber_rho(jnp.sum(r_l**2, -1), huber_delta), 0.0))
     ws = jnp.sqrt(w_l) * l.valid.astype(dtype)
-    ja = ev.jac_a * ws[:, None, None]                    # (L, 4, 4) rows m
-    jb = ev.jac_b * ws[:, None, None]
-    rl = ev.residual * ws[:, None]
+    ja = Ja_l * ws[:, None, None]                        # (L, 4, 4) rows m
+    jb = Jb_l * ws[:, None, None]
+    rl = r_l * ws[:, None]
 
     # U[f, d*4+i, 4k+c] += J^T entries for each loop endpoint
     U = jnp.zeros((F * m, 4 * L), dtype)
