@@ -20,10 +20,12 @@ Solves T x = rhs for SPD block-tridiagonal T given:
 """
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from omniswarm_tpu.core.precision import highp
 
 
 def _pad_pow2(A, B, rhs):
@@ -69,6 +71,7 @@ def _dense_bt_solve(A, B, rhs):
     return x.reshape(Fl, m, K)
 
 
+@highp
 def bt_solve(A: jnp.ndarray, B: jnp.ndarray, rhs: jnp.ndarray, *,
              direct_threshold: int = 8) -> jnp.ndarray:
     """Solve the block-tridiagonal SPD system; returns (F, m, K).
@@ -136,3 +139,150 @@ def bt_solve(A: jnp.ndarray, B: jnp.ndarray, rhs: jnp.ndarray, *,
         x = x.at[1::2].set(x_odd)
 
     return x[:F_orig]
+
+
+# ---------------------------------------------------------------------------
+# Matmul-only path: Newton-Schulz block inverses + iterative refinement
+# ---------------------------------------------------------------------------
+#
+# The Cholesky/triangular_solve custom calls above process the tiny (m, m)
+# blocks serially inside the custom call (measured: batch-flat scaling on
+# v5e). This path replaces every per-level factorization with an explicit
+# approximate inverse computed by diagonally-preconditioned Newton-Schulz
+# iteration — nothing but batched matmuls, which the MXU pipelines across
+# the whole (levels x batch) block population. The approximation error of
+# the resulting solve operator M^-1 ~= T^-1 is removed by 1-2 passes of
+# iterative refinement against the *exact* block-tridiagonal matvec
+# (x += M^-1 (rhs - T x)), each pass contracting the error by ~|I - M^-1 T|.
+
+
+@highp
+def ns_inverse(A: jnp.ndarray, iters: int = 12) -> jnp.ndarray:
+    """Approximate batched SPD inverse, pure matmuls.
+
+    Diagonal Jacobi scaling An = S A S (unit diagonal) tightens the spectrum,
+    then Newton-Schulz X <- X (2I - An X) from the safe start X0 = I/rho with
+    rho >= lambda_max(An) (row-sum bound) converges quadratically. Symmetric
+    by induction. Returns S X S ~= A^-1.
+    """
+    n = A.shape[-1]
+    d = jnp.diagonal(A, axis1=-2, axis2=-1)
+    s = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
+    An = A * s[..., :, None] * s[..., None, :]
+    rho = jnp.max(jnp.sum(jnp.abs(An), -1), -1)          # >= lambda_max
+    eye = jnp.eye(n, dtype=A.dtype)
+    X = eye / rho[..., None, None]
+    two_eye = 2.0 * eye
+    for _ in range(iters):
+        X = X @ (two_eye - An @ X)
+    return X * s[..., :, None] * s[..., None, :]
+
+
+class BTFactors(NamedTuple):
+    """Reduction structure reused across refinement passes (rhs-independent)."""
+    levels: Tuple     # per level: (Ainv, B_left, B_right, W_l, W_r)
+    tail_A: jnp.ndarray
+    tail_B: jnp.ndarray
+    F_orig: int
+    Fp: int
+
+
+@highp
+def bt_factor(A: jnp.ndarray, B: jnp.ndarray, *, direct_threshold: int = 8,
+              ns_iters: int = 12) -> BTFactors:
+    """Forward cyclic reduction of the matrices only (no rhs).
+
+    Per level stores the Newton-Schulz inverse of the odd blocks plus the
+    reduction operators W_l = B_left Ainv and W_r = B_right^T Ainv so that
+    bt_apply is nothing but matmuls. The <=direct_threshold tail stays exact
+    (one small Cholesky in bt_apply).
+    """
+    dummy_rhs = jnp.zeros(A.shape[:1] + (A.shape[1], 0), A.dtype)
+    A, B, _, F_orig, Fp = _pad_pow2(A, B, dummy_rhs)
+
+    levels = []
+    while A.shape[0] > max(1, direct_threshold):
+        Fl = A.shape[0]
+        A_odd = A[1::2]
+        B_left = B[0::2]
+        B_right = jnp.zeros_like(B_left)
+        if Fl > 2:
+            B_right = B_right.at[:-1].set(B[1::2])
+        Ainv = ns_inverse(A_odd, ns_iters)
+        W_l = jnp.einsum("tij,tjk->tik", B_left, Ainv)       # B[2t] Ainv
+        W_r = jnp.einsum("tji,tjk->tik", B_right, Ainv)      # B^T Ainv
+        A_new = A[0::2] - jnp.einsum("tij,tkj->tik", W_l, B_left)
+        A_new = A_new.at[1:].add(
+            -jnp.einsum("tij,tjk->tik", W_r, B_right)[:-1])
+        B_new = -jnp.einsum("tij,tjk->tik", W_l, B_right)[:-1]
+        levels.append((Ainv, B_left, B_right, W_l, W_r))
+        A, B = A_new, B_new
+
+    return BTFactors(levels=tuple(levels), tail_A=A, tail_B=B,
+                     F_orig=F_orig, Fp=Fp)
+
+
+@highp
+def bt_apply(fac: BTFactors, rhs: jnp.ndarray) -> jnp.ndarray:
+    """One approximate solve M^-1 rhs using precomputed factors (matmuls)."""
+    F_orig = fac.F_orig
+    if fac.Fp != F_orig:
+        rhs = jnp.concatenate(
+            [rhs, jnp.zeros((fac.Fp - F_orig,) + rhs.shape[1:], rhs.dtype)], 0)
+
+    # Forward: reduce rhs through the levels.
+    odd_rhs = []
+    for Ainv, B_left, B_right, W_l, W_r in fac.levels:
+        rhs_odd = rhs[1::2]
+        r_new = rhs[0::2] - jnp.einsum("tij,tjk->tik", W_l, rhs_odd)
+        r_new = r_new.at[1:].add(
+            -jnp.einsum("tij,tjk->tik", W_r, rhs_odd)[:-1])
+        odd_rhs.append(rhs_odd)
+        rhs = r_new
+
+    x = _dense_bt_solve(fac.tail_A, fac.tail_B, rhs)
+
+    # Back-substitution (exact given the level inverses).
+    for (Ainv, B_left, B_right, _, _), rhs_odd in zip(
+            reversed(fac.levels), reversed(odd_rhs)):
+        x_even = x
+        r = rhs_odd - jnp.einsum("tji,tjk->tik", B_left, x_even)
+        x_shift = jnp.concatenate(
+            [x_even[1:], jnp.zeros_like(x_even[:1])], 0)
+        r = r - jnp.einsum("tij,tjk->tik", B_right, x_shift)
+        x_odd = jnp.einsum("tij,tjk->tik", Ainv, r)
+        Fl2 = x_even.shape[0]
+        x = jnp.zeros((2 * Fl2,) + x_even.shape[1:], x_even.dtype)
+        x = x.at[0::2].set(x_even)
+        x = x.at[1::2].set(x_odd)
+
+    return x[:F_orig]
+
+
+@highp
+def bt_matvec(A: jnp.ndarray, B: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Exact block-tridiagonal matvec T x (x: (F, m, K))."""
+    y = jnp.einsum("fij,fjk->fik", A, x)
+    if B.shape[0] > 0:
+        y = y.at[:-1].add(jnp.einsum("fij,fjk->fik", B, x[1:]))
+        y = y.at[1:].add(jnp.einsum("fji,fjk->fik", B, x[:-1]))
+    return y
+
+
+@highp
+def bt_solve_ns(A: jnp.ndarray, B: jnp.ndarray, rhs: jnp.ndarray, *,
+                direct_threshold: int = 8, ns_iters: int = 12,
+                refine: int = 1) -> jnp.ndarray:
+    """Matmul-only block-tridiagonal solve with iterative refinement.
+
+    Same contract as bt_solve; trades the per-level Cholesky custom calls for
+    Newton-Schulz inverses + `refine` residual-correction passes. With
+    refine>=1 the step error is far below what the LM acceptance logic can
+    see; use bt_solve (exact) for covariance extraction.
+    """
+    fac = bt_factor(A, B, direct_threshold=direct_threshold,
+                    ns_iters=ns_iters)
+    x = bt_apply(fac, rhs)
+    for _ in range(refine):
+        x = x + bt_apply(fac, rhs - bt_matvec(A, B, x))
+    return x

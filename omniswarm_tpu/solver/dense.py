@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from omniswarm_tpu.core import geometry as geo
+from omniswarm_tpu.core.precision import highp
 from omniswarm_tpu.solver import factors as fx
 from omniswarm_tpu.solver.graph import RelPoseFactors, empty_relpose
 
@@ -667,48 +668,70 @@ def assemble_blocks(graph: DenseGraph, poses: jnp.ndarray, *,
     return A, Boff, gflat, U, cost
 
 
+@highp
+def _smw_solve_core(A, Boff, g, U, lam, *, exact: bool = False):
+    """Damped (T + U U^T) dx = -g via block-tridiag solve + Woodbury.
+
+    exact=False (default, the LM fast path) runs the matmul-only
+    Newton-Schulz cyclic reduction (block_tridiag.bt_solve_ns) and inverts
+    the capacitance matrix S by Newton-Schulz + one refinement pass —
+    no Cholesky/triangular custom calls anywhere (they serialize per block
+    on v5e). exact=True keeps the Cholesky path (covariances, debugging).
+    Step error of the fast path is ~1e-4 relative across the full lambda
+    range — invisible to the LM accept/reject logic.
+    """
+    import jax.scipy.linalg as jsl
+
+    from omniswarm_tpu.solver.block_tridiag import bt_solve, bt_solve_ns
+
+    F, m = A.shape[0], A.shape[1]
+    C = U.shape[-1]
+    # damping on the FULL Hessian diagonal: diag(T) + diag(U U^T)
+    diagT = jnp.diagonal(A, axis1=-2, axis2=-1)          # (F, m)
+    diagU = jnp.sum(U * U, axis=-1)                      # (F, m)
+    d = lam * jnp.maximum(diagT + diagU, 1e-6)
+    Ad = A + d[..., None] * jnp.eye(m, dtype=A.dtype)[None]
+    rhs = jnp.concatenate([-g[..., None], U], axis=-1)   # (F, m, 1+C)
+    if exact:
+        Y = bt_solve(Ad, Boff, rhs)
+    else:
+        Y = bt_solve_ns(Ad, Boff, rhs, ns_iters=8, refine=0)
+    yb = Y[..., 0]                                       # (F, m)
+    YU = Y[..., 1:]                                      # (F, m, C)
+    S = jnp.eye(C, dtype=A.dtype) + jnp.einsum("fmc,fmd->cd", U, YU)
+    Uyb = jnp.einsum("fmc,fm->c", U, yb)
+    # capacitance solve: one (C, C) Cholesky — measured faster than a
+    # Newton-Schulz inverse at this size (C ~ 4L ~ 400, few batch lanes)
+    Lc, low = jsl.cho_factor(S, lower=True)
+    z = jsl.cho_solve((Lc, low), Uyb)
+    dx = yb - jnp.einsum("fmc,c->fm", YU, z)
+    return dx.reshape(-1)
+
+
 def lm_solve_bt_impl(graph: DenseGraph, poses0: jnp.ndarray, *,
                      max_iterations: int = 100, huber_delta: float = 1.0,
                      det_sphere_std: float = 0.1,
                      det_inv_dep_std: float = 0.5,
-                     function_tolerance: float = 1e-6):
+                     function_tolerance: float = 1e-6,
+                     exact_linear: bool = False):
     """LM with the block-tridiagonal + Woodbury linear solver.
 
-    Per iteration: one cyclic-reduction factor-solve with (1 + 4L) RHS, one
-    small (4L, 4L) Cholesky — no dense (P, P) Hessian, no large scatters.
+    Per iteration: one cyclic-reduction factor-solve with (1 + 4L) RHS and
+    one small (4L, 4L) capacitance solve — no dense (P, P) Hessian, no
+    large scatters, and (by default) no per-block factorization custom
+    calls (_smw_solve_core exact=False).
     """
-    import jax.scipy.linalg as jsl
-
-    from omniswarm_tpu.solver.block_tridiag import bt_solve
     from omniswarm_tpu.solver.gauss_newton import SolveResult, _apply_step
 
     F, D = graph.pose_valid.shape
-    m = 4 * D
 
     assemble = functools.partial(
         assemble_blocks, graph, huber_delta=huber_delta,
         det_sphere_std=det_sphere_std, det_inv_dep_std=det_inv_dep_std)
 
     A0, B0, g0, U0, cost0 = assemble(poses0)
-    C = U0.shape[-1]
 
-    def smw_solve(A, B, g, U, lam):
-        # damping on the FULL Hessian diagonal: diag(T) + diag(U U^T)
-        diagT = jnp.diagonal(A, axis1=-2, axis2=-1)          # (F, m)
-        diagU = jnp.sum(U * U, axis=-1)                      # (F, m)
-        d = lam * jnp.maximum(diagT + diagU, 1e-6)
-        Ad = A + d[..., None] * jnp.eye(m, dtype=A.dtype)[None]
-        rhs = jnp.concatenate([-g[..., None], U], axis=-1)   # (F, m, 1+C)
-        Y = bt_solve(Ad, B, rhs)
-        yb = Y[..., 0]                                       # (F, m)
-        YU = Y[..., 1:]                                      # (F, m, C)
-        S = jnp.eye(C, dtype=A.dtype) + jnp.einsum(
-            "fmc,fmd->cd", U, YU)
-        Uyb = jnp.einsum("fmc,fm->c", U, yb)
-        Lc, low = jsl.cho_factor(S, lower=True)
-        z = jsl.cho_solve((Lc, low), Uyb)
-        dx = yb - jnp.einsum("fmc,c->fm", YU, z)
-        return dx.reshape(F, D, 4).reshape(-1)
+    smw_solve = functools.partial(_smw_solve_core, exact=exact_linear)
 
     def cond(state):
         return (~state[-1]) & (state[-2] < max_iterations)
@@ -743,7 +766,7 @@ def lm_solve_bt_impl(graph: DenseGraph, poses0: jnp.ndarray, *,
 lm_solve_bt = jax.jit(
     lm_solve_bt_impl,
     static_argnames=("max_iterations", "huber_delta", "det_sphere_std",
-                     "det_inv_dep_std", "function_tolerance"),
+                     "det_inv_dep_std", "function_tolerance", "exact_linear"),
 )
 
 
@@ -752,44 +775,27 @@ def lm_solve_bt_batched_impl(graph: DenseGraph, poses0_batch: jnp.ndarray,
                              huber_delta: float = 1.0,
                              det_sphere_std: float = 0.1,
                              det_inv_dep_std: float = 0.5,
-                             function_tolerance: float = 1e-6):
+                             function_tolerance: float = 1e-6,
+                             exact_linear: bool = False):
     """Batch-native BT LM: B instances advance in lock-step.
 
     The while_loop itself is batch-agnostic — assembly and the
     cyclic-reduction solve are vmapped *inside* the body (cheap to trace:
-    bt_solve is an unrolled log-depth program, not a nested while_loop).
+    the linear solve is an unrolled log-depth program, not a nested
+    while_loop).
     """
-    import jax.scipy.linalg as jsl
-
-    from omniswarm_tpu.solver.block_tridiag import bt_solve
     from omniswarm_tpu.solver.gauss_newton import SolveResult, _apply_step
 
     F, D = graph.pose_valid.shape
-    m = 4 * D
     B = poses0_batch.shape[0]
 
     assemble = jax.vmap(functools.partial(
         assemble_blocks, graph, huber_delta=huber_delta,
         det_sphere_std=det_sphere_std, det_inv_dep_std=det_inv_dep_std))
 
-    def smw_solve_one(A, Boff, g, U, lam):
-        diagT = jnp.diagonal(A, axis1=-2, axis2=-1)
-        diagU = jnp.sum(U * U, axis=-1)
-        d = lam * jnp.maximum(diagT + diagU, 1e-6)
-        Ad = A + d[..., None] * jnp.eye(m, dtype=A.dtype)[None]
-        rhs = jnp.concatenate([-g[..., None], U], axis=-1)
-        Y = bt_solve(Ad, Boff, rhs)
-        yb = Y[..., 0]
-        YU = Y[..., 1:]
-        C = U.shape[-1]
-        S = jnp.eye(C, dtype=A.dtype) + jnp.einsum("fmc,fmd->cd", U, YU)
-        Uyb = jnp.einsum("fmc,fm->c", U, yb)
-        Lc, low = jsl.cho_factor(S, lower=True)
-        z = jsl.cho_solve((Lc, low), Uyb)
-        dx = yb - jnp.einsum("fmc,c->fm", YU, z)
-        return dx.reshape(-1)
-
-    smw_solve = jax.vmap(smw_solve_one, in_axes=(0, 0, 0, 0, 0))
+    smw_solve = jax.vmap(
+        functools.partial(_smw_solve_core, exact=exact_linear),
+        in_axes=(0, 0, 0, 0, 0))
 
     A0, B0, g0, U0, cost0 = assemble(poses0_batch)
 
@@ -834,10 +840,11 @@ def lm_solve_bt_batched_impl(graph: DenseGraph, poses0_batch: jnp.ndarray,
 lm_solve_bt_batched = jax.jit(
     lm_solve_bt_batched_impl,
     static_argnames=("max_iterations", "huber_delta", "det_sphere_std",
-                     "det_inv_dep_std", "function_tolerance"),
+                     "det_inv_dep_std", "function_tolerance", "exact_linear"),
 )
 
 
+@highp
 def pose_covariances(graph: DenseGraph, poses: jnp.ndarray,
                      query: jnp.ndarray, *, huber_delta: float = 1.0,
                      det_sphere_std: float = 0.1,

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from omniswarm_tpu.core import geometry as geo
+from omniswarm_tpu.core.precision import highp
 from omniswarm_tpu.solver import factors as fx
 from omniswarm_tpu.solver.graph import FactorGraph
 
