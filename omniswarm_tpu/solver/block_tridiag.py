@@ -224,37 +224,45 @@ def bt_factor(A: jnp.ndarray, B: jnp.ndarray, *, direct_threshold: int = 8,
 
 @highp
 def bt_apply(fac: BTFactors, rhs: jnp.ndarray) -> jnp.ndarray:
-    """One approximate solve M^-1 rhs using precomputed factors (matmuls)."""
+    """One approximate solve M^-1 rhs using precomputed factors (matmuls).
+
+    dtype-preserving: a bfloat16 rhs sweeps through the levels in bfloat16
+    (half the HBM traffic of the K-RHS sweep — the measured bottleneck);
+    the factor matrices stay f32 and the tail solve is done in f32.
+    """
     F_orig = fac.F_orig
+    dt = rhs.dtype
     if fac.Fp != F_orig:
         rhs = jnp.concatenate(
-            [rhs, jnp.zeros((fac.Fp - F_orig,) + rhs.shape[1:], rhs.dtype)], 0)
+            [rhs, jnp.zeros((fac.Fp - F_orig,) + rhs.shape[1:], dt)], 0)
 
     # Forward: reduce rhs through the levels.
     odd_rhs = []
     for Ainv, B_left, B_right, W_l, W_r in fac.levels:
-        rhs_odd = rhs[1::2]
-        r_new = rhs[0::2] - jnp.einsum("tij,tjk->tik", W_l, rhs_odd)
+        half = rhs.reshape((rhs.shape[0] // 2, 2) + rhs.shape[1:])
+        rhs_even, rhs_odd = half[:, 0], half[:, 1]
+        r_new = rhs_even - jnp.einsum("tij,tjk->tik", W_l, rhs_odd).astype(dt)
         r_new = r_new.at[1:].add(
-            -jnp.einsum("tij,tjk->tik", W_r, rhs_odd)[:-1])
+            -jnp.einsum("tij,tjk->tik", W_r, rhs_odd)[:-1].astype(dt))
         odd_rhs.append(rhs_odd)
         rhs = r_new
 
-    x = _dense_bt_solve(fac.tail_A, fac.tail_B, rhs)
+    x = _dense_bt_solve(fac.tail_A, fac.tail_B,
+                        rhs.astype(fac.tail_A.dtype)).astype(dt)
 
     # Back-substitution (exact given the level inverses).
     for (Ainv, B_left, B_right, _, _), rhs_odd in zip(
             reversed(fac.levels), reversed(odd_rhs)):
         x_even = x
-        r = rhs_odd - jnp.einsum("tji,tjk->tik", B_left, x_even)
+        r = rhs_odd - jnp.einsum("tji,tjk->tik", B_left, x_even).astype(dt)
         x_shift = jnp.concatenate(
             [x_even[1:], jnp.zeros_like(x_even[:1])], 0)
-        r = r - jnp.einsum("tij,tjk->tik", B_right, x_shift)
-        x_odd = jnp.einsum("tij,tjk->tik", Ainv, r)
+        r = r - jnp.einsum("tij,tjk->tik", B_right, x_shift).astype(dt)
+        x_odd = jnp.einsum("tij,tjk->tik", Ainv, r).astype(dt)
         Fl2 = x_even.shape[0]
-        x = jnp.zeros((2 * Fl2,) + x_even.shape[1:], x_even.dtype)
-        x = x.at[0::2].set(x_even)
-        x = x.at[1::2].set(x_odd)
+        # interleave even/odd via stack+reshape (no strided scatters)
+        x = jnp.stack([x_even, x_odd], axis=1).reshape(
+            (2 * Fl2,) + x_even.shape[1:])
 
     return x[:F_orig]
 

@@ -551,53 +551,145 @@ lm_solve_dense_batched = jax.jit(
 def assemble_blocks(graph: DenseGraph, poses: jnp.ndarray, *,
                     huber_delta: float = 1.0, det_sphere_std: float = 0.1,
                     det_inv_dep_std: float = 0.5):
-    """Normal equations in frame-block form.
+    """Normal equations in frame-block form — F-minor (lane-major) layout.
 
     Returns (A (F, m, m) diagonal blocks, Boff (F-1, m, m) odometry
     off-diagonals, g (F, m), U (F, m, 4L) loop Jacobian columns, cost) with
-    m = D*4. The full Hessian is implicitly
-    T + U U^T where T is block-tridiagonal — solved by cyclic reduction +
-    Sherman-Morrison-Woodbury in lm_solve_bt. The result is numerically
-    identical to assemble_dense's big H (tested).
+    m = D*4. The full Hessian is implicitly T + U U^T where T is
+    block-tridiagonal — solved by cyclic reduction + Sherman-Morrison-
+    Woodbury in lm_solve_bt. Numerically identical to assemble_dense's big
+    H (tested).
+
+    Layout note: every intermediate is shaped (..., F) with the long frame
+    axis minor — the TPU vector-lane axis. The tiny 4x4/3x4 block indices
+    live on outer axes, so J^T J products are pure f32 VPU multiply-adds
+    (no bf16 micro-dots) and the a<->b pair swap is an outer-axis transpose
+    of whole lane rows. Measured 6x faster than the F-major einsum form on
+    v5e, and bit-accurate (the einsum form loses ~1e-3 to reduced-precision
+    dot passes). One final transpose delivers bt_solve's (F, m, m) layout.
     """
     F, D = graph.pose_valid.shape
     m = 4 * D
     dtype = poses.dtype
+    delta = huber_delta
 
-    intra = jnp.zeros((F, D, D, 4, 4), dtype)
-    diag = jnp.zeros((F, D, 4, 4), dtype)
-    gvec = jnp.zeros((F, D, 4), dtype)
+    p = poses.transpose(2, 1, 0)                         # (4, D, F)
+    t = p[:3]                                            # (3, D, F)
+    ya = p[3]                                            # (D, F)
 
-    r_r, su, w_r, cost = _range_terms(graph, poses, huber_delta)
-    B3 = su[..., :, None] * su[..., None, :]
-    wB3 = B3 * w_r[..., None, None]
-    wB3_sym = wB3 + jnp.swapaxes(wB3, 1, 2)
-    diag = diag.at[..., :3, :3].add(jnp.sum(wB3_sym, axis=2))
-    intra = intra.at[..., :3, :3].add(-wB3_sym)
-    gr = (su * (w_r * r_r)[..., None])
-    gvec = gvec.at[..., :3].add(jnp.sum(gr - jnp.swapaxes(gr, 1, 2), axis=2))
+    # --- UWB ranges: pair grid (i, j, Da, Db, F) ------------------------
+    diff = t[:, :, None, :] - t[:, None, :, :]           # (3, Da, Db, F)
+    dist = jnp.sqrt(jnp.sum(diff * diff, 0) + 1e-12)     # (Da, Db, F)
+    si = jnp.asarray(graph.range_sqrt_inf, dtype)
+    if si.ndim:
+        si = si.transpose(1, 2, 0)
+    rvalid = graph.range_valid.transpose(1, 2, 0)
+    r_r = (dist - graph.range_dist.transpose(1, 2, 0)) * si
+    su = diff / dist[None] * si
+    w_r = jnp.where(jnp.abs(r_r) <= delta, 1.0,
+                    delta / jnp.maximum(jnp.abs(r_r), 1e-12))
+    w_r = w_r * rvalid.astype(dtype)
+    cost = 0.5 * jnp.sum(jnp.where(rvalid,
+                                   fx.huber_rho(r_r * r_r, delta), 0.0))
 
-    r_d, Ja_d, Jb_d, w_d, cost_d = _det_terms(
-        graph, poses, huber_delta, det_sphere_std, det_inv_dep_std)
-    cost += cost_d
-    wJa = Ja_d * w_d[..., None, None]
-    wJb = Jb_d * w_d[..., None, None]
-    diag += jnp.sum(jnp.einsum("fabki,fabkj->fabij", wJa, Ja_d), axis=2)
-    diag += jnp.sum(jnp.einsum("fabki,fabkj->fabij", wJb, Jb_d), axis=1)
-    Bab = jnp.einsum("fabki,fabkj->fabij", wJa, Jb_d)
-    intra += Bab + jnp.swapaxes(jnp.swapaxes(Bab, -1, -2), 1, 2)
-    gvec += jnp.sum(jnp.einsum("fabki,fabk->fabi", wJa, r_d), axis=2)
-    gvec += jnp.sum(jnp.einsum("fabki,fabk->fabi", wJb, r_d), axis=1)
+    Hp = jnp.zeros((4, 4, D, D, F), dtype)               # (ia, jb, Da, Db, F)
+    diag = jnp.zeros((4, 4, D, F), dtype)
+    g = jnp.zeros((4, D, F), dtype)
 
-    r_o, Ja_o, Jb_o, w_o, cost_o = _odom_terms(graph, poses, F)
-    cost += cost_o
-    wJa_o = Ja_o * w_o[..., None, None]
-    wJb_o = Jb_o * w_o[..., None, None]
-    diag = diag.at[:-1].add(jnp.einsum("fdki,fdkj->fdij", wJa_o, Ja_o))
-    diag = diag.at[1:].add(jnp.einsum("fdki,fdkj->fdij", wJb_o, Jb_o))
-    Bab_o = jnp.einsum("fdki,fdkj->fdij", wJa_o, Jb_o)
-    gvec = gvec.at[:-1].add(jnp.einsum("fdki,fdk->fdi", wJa_o, r_o))
-    gvec = gvec.at[1:].add(jnp.einsum("fdki,fdk->fdi", wJb_o, r_o))
+    wB = su[:, None] * su[None, :] * w_r[None, None]     # (3, 3, Da, Db, F)
+    wB_sym = wB + wB.transpose(0, 1, 3, 2, 4)
+    Hp = Hp.at[:3, :3].add(-wB_sym)
+    diag = diag.at[:3, :3].add(jnp.sum(wB_sym, axis=3))
+    gr = su * (w_r * r_r)[None]
+    g = g.at[:3].add(jnp.sum(gr - gr.transpose(0, 2, 1, 3), axis=2))
+
+    # --- detections: bearing + inverse depth ----------------------------
+    ddir = graph.det_dir.transpose(3, 1, 2, 0)           # (3, Da, Db, F)
+    dtb = graph.det_tb.transpose(3, 4, 1, 2, 0)          # (2, 3, Da, Db, F)
+    dinv = graph.det_invdep.transpose(1, 2, 0)
+    dvalid = graph.det_valid.transpose(1, 2, 0)
+    dhas = graph.det_has_depth.transpose(1, 2, 0).astype(dtype)
+    c = jnp.cos(ya)[:, None, :]                          # (Da, 1, F)
+    s = jnp.sin(ya)[:, None, :]
+    diffb = -diff                                        # b - a
+    relx = c * diffb[0] + s * diffb[1]
+    rely = -s * diffb[0] + c * diffb[1]
+    rel = jnp.stack([relx, rely, diffb[2]], 0)           # (3, Da, Db, F)
+    n = jnp.sqrt(jnp.sum(rel * rel, 0) + 1e-12)
+    unit = rel / n[None]
+    err3 = unit - ddir
+    res01 = jnp.sum(dtb * err3[None], axis=1) / det_sphere_std
+    res2 = (dinv - 1.0 / n) / det_inv_dep_std * dhas
+    rd = jnp.concatenate([res01, res2[None]], 0)         # (3k, Da, Db, F)
+    P = (jnp.eye(3, dtype=dtype)[:, :, None, None, None]
+         - unit[:, None] * unit[None, :]) / n[None, None]
+    dres01 = jnp.sum(dtb[:, :, None] * P[None], axis=1) / det_sphere_std
+    dres2 = unit / (n * n)[None] / det_inv_dep_std * dhas[None]
+    dres = jnp.concatenate([dres01, dres2[None]], 0)     # (3k, 3i, Da, Db, F)
+    Jb0 = dres[:, 0] * c + dres[:, 1] * (-s)             # chain through R(-ya)
+    Jb1 = dres[:, 0] * s + dres[:, 1] * c
+    Jb2 = dres[:, 2]
+    drel_dya = jnp.stack([rely, -relx, jnp.zeros_like(relx)], 0)
+    Jya = jnp.sum(dres * drel_dya[None, :], axis=1)      # (3k, Da, Db, F)
+    Jb_d = jnp.stack([Jb0, Jb1, Jb2, jnp.zeros_like(Jb0)], 1)
+    Ja_d = jnp.stack([-Jb0, -Jb1, -Jb2, Jya], 1)         # (k, 4i, Da, Db, F)
+    normd = jnp.sqrt(jnp.sum(rd * rd, 0) + 1e-20)
+    w_d = jnp.where(normd <= delta, 1.0,
+                    delta / jnp.maximum(normd, 1e-12))
+    w_d = w_d * dvalid.astype(dtype)
+    cost += 0.5 * jnp.sum(jnp.where(
+        dvalid, fx.huber_rho(normd * normd, delta), 0.0))
+    wJa = Ja_d * w_d[None, None]
+    wJb = Jb_d * w_d[None, None]
+    jtj = lambda X, Y: jnp.sum(X[:, :, None] * Y[:, None, :], axis=0)
+    diag += jnp.sum(jtj(wJa, Ja_d), axis=3)              # at a (sum over Db)
+    diag += jnp.sum(jtj(wJb, Jb_d), axis=2)              # at b (sum over Da)
+    Bab = jtj(wJa, Jb_d)                                 # (ia, jb, Da, Db, F)
+    Hp += Bab + Bab.transpose(1, 0, 3, 2, 4)
+    g += jnp.sum(jnp.sum(wJa * rd[:, None], 0), axis=2)
+    g += jnp.sum(jnp.sum(wJb * rd[:, None], 0), axis=1)
+
+    # --- ego-motion chain (frame axis F-1, still minor) ------------------
+    om = graph.odom_dpose.transpose(2, 1, 0)             # (4, D, F-1)
+    osi = graph.odom_sqrt_info.transpose(2, 1, 0)
+    ovalid = graph.odom_valid.transpose(1, 0).astype(dtype)  # (D, F-1)
+    ta, tb = t[..., :-1], t[..., 1:]
+    yaa, yab = ya[..., :-1], ya[..., 1:]
+    co = jnp.cos(yaa)
+    so = jnp.sin(yaa)
+    dxw = tb[0] - ta[0]
+    dyw = tb[1] - ta[1]
+    dx_ = co * dxw + so * dyw
+    dy_ = -so * dxw + co * dyw
+    dz_ = tb[2] - ta[2]
+    dyaw = geo.normalize_angle(yab - yaa)
+    e = jnp.stack([om[0] - dx_, om[1] - dy_, om[2] - dz_,
+                   geo.normalize_angle(om[3] - dyaw)], 0)  # (4, D, F-1)
+    r_o = osi * e
+    cost += 0.5 * jnp.sum(ovalid * jnp.sum(r_o * r_o, 0))
+    zo = jnp.zeros_like(co)
+    one = jnp.ones_like(co)
+    # rows k, cols i; scaled by osi[k]
+    Ja_o = jnp.stack([
+        jnp.stack([co, so, zo, -dy_], 0),
+        jnp.stack([-so, co, zo, dx_], 0),
+        jnp.stack([zo, zo, one, zo], 0),
+        jnp.stack([zo, zo, zo, one], 0),
+    ], 0) * osi[:, None]                                 # (4k, 4i, D, F-1)
+    Jb_o = jnp.stack([
+        jnp.stack([-co, -so, zo, zo], 0),
+        jnp.stack([so, -co, zo, zo], 0),
+        jnp.stack([zo, zo, -one, zo], 0),
+        jnp.stack([zo, zo, zo, -one], 0),
+    ], 0) * osi[:, None]
+    wJa_o = Ja_o * ovalid[None, None]
+    wJb_o = Jb_o * ovalid[None, None]
+    jtj2 = lambda X, Y: jnp.sum(X[:, :, None] * Y[:, None, :], axis=0)
+    diag = diag.at[..., :-1].add(jtj2(wJa_o, Ja_o))
+    diag = diag.at[..., 1:].add(jtj2(wJb_o, Jb_o))
+    Bab_o = jtj2(wJa_o, Jb_o)                            # (ia, jb, D, F-1)
+    g = g.at[..., :-1].add(jnp.sum(wJa_o * r_o[:, None], 0))
+    g = g.at[..., 1:].add(jnp.sum(wJb_o * r_o[:, None], 0))
 
     # param mask at (F, D, 4) granularity
     free = graph.pose_valid & ~graph.pose_fixed
@@ -605,13 +697,16 @@ def assemble_blocks(graph: DenseGraph, poses: jnp.ndarray, *,
     mask4 = mask4.at[..., 3].set(mask4[..., 3] & ~graph.yaw_fixed)
     mflat = mask4.reshape(F, m).astype(dtype)            # (F, m)
 
-    # frame-diagonal blocks: intra + per-pose diag on its a==b entries
-    eye_d = jnp.eye(D, dtype=dtype)
-    intra = intra + jnp.einsum("fdij,de->fdeij", diag, eye_d)
-    A = intra.transpose(0, 1, 3, 2, 4).reshape(F, m, m)
+    # embed per-pose diag on a==b, then one transpose to (F, m, m)
+    ii = jnp.arange(D)
+    Hp = Hp.at[:, :, ii, ii, :].add(diag)
+    A = Hp.transpose(4, 2, 0, 3, 1).reshape(F, m, m)
+    gvec = g.transpose(2, 1, 0)                          # (F, D, 4)
 
     # odometry off-diagonal frame blocks (block-diagonal over drones)
-    Boff = jnp.einsum("fdij,de->fdiej", Bab_o, eye_d).reshape(F - 1, m, m)
+    Bp = jnp.zeros((4, 4, D, D, F - 1), dtype)
+    Bp = Bp.at[:, :, ii, ii, :].set(Bab_o)
+    Boff = Bp.transpose(4, 2, 0, 3, 1).reshape(F - 1, m, m)
 
     # sparse loop factors → low-rank columns U (F, m, 4L) + g additions
     l = graph.loops
@@ -673,12 +768,13 @@ def _smw_solve_core(A, Boff, g, U, lam, *, exact: bool = False):
     """Damped (T + U U^T) dx = -g via block-tridiag solve + Woodbury.
 
     exact=False (default, the LM fast path) runs the matmul-only
-    Newton-Schulz cyclic reduction (block_tridiag.bt_solve_ns) and inverts
-    the capacitance matrix S by Newton-Schulz + one refinement pass —
-    no Cholesky/triangular custom calls anywhere (they serialize per block
-    on v5e). exact=True keeps the Cholesky path (covariances, debugging).
-    Step error of the fast path is ~1e-4 relative across the full lambda
-    range — invisible to the LM accept/reject logic.
+    Newton-Schulz cyclic reduction (block_tridiag.bt_factor/bt_apply: no
+    per-block factorization custom calls — they serialize per block on
+    v5e), sweeping the gradient column in f32 and the C Woodbury columns
+    in bfloat16 (that sweep is HBM-bound; the columns only feed S and the
+    final correction, both f32-accumulated). exact=True keeps the full
+    Cholesky path (covariances, debugging). Fast-path step error is ~1e-3
+    relative across the lambda range — invisible to LM accept/reject.
     """
     import jax.scipy.linalg as jsl
 
@@ -691,20 +787,31 @@ def _smw_solve_core(A, Boff, g, U, lam, *, exact: bool = False):
     diagU = jnp.sum(U * U, axis=-1)                      # (F, m)
     d = lam * jnp.maximum(diagT + diagU, 1e-6)
     Ad = A + d[..., None] * jnp.eye(m, dtype=A.dtype)[None]
-    rhs = jnp.concatenate([-g[..., None], U], axis=-1)   # (F, m, 1+C)
     if exact:
+        rhs = jnp.concatenate([-g[..., None], U], axis=-1)  # (F, m, 1+C)
         Y = bt_solve(Ad, Boff, rhs)
+        yb = Y[..., 0]                                   # (F, m)
+        YU = Y[..., 1:]                                  # (F, m, C)
     else:
-        Y = bt_solve_ns(Ad, Boff, rhs, ns_iters=8, refine=0)
-    yb = Y[..., 0]                                       # (F, m)
-    YU = Y[..., 1:]                                      # (F, m, C)
-    S = jnp.eye(C, dtype=A.dtype) + jnp.einsum("fmc,fmd->cd", U, YU)
+        from omniswarm_tpu.solver.block_tridiag import bt_apply, bt_factor
+
+        fac = bt_factor(Ad, Boff, ns_iters=8)
+        # gradient column in f32; the C Woodbury columns sweep in bf16 —
+        # they only feed S and the final correction, and the K-RHS sweep
+        # is HBM-bandwidth-bound (halving bytes ~halves its time). The
+        # S solve below accumulates in f32.
+        yb = bt_apply(fac, -g[..., None])[..., 0]
+        YU = bt_apply(fac, U.astype(jnp.bfloat16))       # stays bf16
+    S = jnp.eye(C, dtype=A.dtype) + jnp.einsum(
+        "fmc,fmd->cd", U.astype(YU.dtype), YU,
+        preferred_element_type=A.dtype)
     Uyb = jnp.einsum("fmc,fm->c", U, yb)
     # capacitance solve: one (C, C) Cholesky — measured faster than a
     # Newton-Schulz inverse at this size (C ~ 4L ~ 400, few batch lanes)
     Lc, low = jsl.cho_factor(S, lower=True)
     z = jsl.cho_solve((Lc, low), Uyb)
-    dx = yb - jnp.einsum("fmc,c->fm", YU, z)
+    dx = yb - jnp.einsum("fmc,c->fm", YU, z.astype(YU.dtype),
+                         preferred_element_type=A.dtype)
     return dx.reshape(-1)
 
 
