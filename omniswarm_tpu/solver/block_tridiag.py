@@ -157,13 +157,19 @@ def bt_solve(A: jnp.ndarray, B: jnp.ndarray, rhs: jnp.ndarray, *,
 
 
 @highp
-def ns_inverse(A: jnp.ndarray, iters: int = 12) -> jnp.ndarray:
+def ns_inverse(A: jnp.ndarray, iters: int = 12,
+               bf16_head: int = 0) -> jnp.ndarray:
     """Approximate batched SPD inverse, pure matmuls.
 
     Diagonal Jacobi scaling An = S A S (unit diagonal) tightens the spectrum,
     then Newton-Schulz X <- X (2I - An X) from the safe start X0 = I/rho with
     rho >= lambda_max(An) (row-sum bound) converges quadratically. Symmetric
     by induction. Returns S X S ~= A^-1.
+
+    bf16_head > 0 runs that many leading iterations in bfloat16 (1/6 the
+    MXU cost of 3-pass f32): bf16 stalls at ~cond*4e-3, and each trailing
+    f32 iteration then squares the residual — 2 f32 iterations after a
+    bf16 head match the full-f32 result to ~1e-3.
     """
     n = A.shape[-1]
     d = jnp.diagonal(A, axis1=-2, axis2=-1)
@@ -173,9 +179,46 @@ def ns_inverse(A: jnp.ndarray, iters: int = 12) -> jnp.ndarray:
     eye = jnp.eye(n, dtype=A.dtype)
     X = eye / rho[..., None, None]
     two_eye = 2.0 * eye
+    if bf16_head:
+        Anb = An.astype(jnp.bfloat16)
+        Xb = X.astype(jnp.bfloat16)
+        tb = two_eye.astype(jnp.bfloat16)
+        for _ in range(bf16_head):
+            Xb = (Xb @ (tb - Anb @ Xb)).astype(jnp.bfloat16)
+        X = Xb.astype(A.dtype)
     for _ in range(iters):
         X = X @ (two_eye - An @ X)
     return X * s[..., :, None] * s[..., None, :]
+
+
+@highp
+def spd_solve_approx(S: jnp.ndarray, b: jnp.ndarray, *, iters: int = 10,
+                     refine: int = 2) -> jnp.ndarray:
+    """Approximate SPD solve S z = b: bf16 Newton-Schulz + f32 refinement.
+
+    The TPU potrf/trsm custom calls serialize per batch element; for the
+    Woodbury capacitance matrix (C ~ 400, few lanes) a bf16 NS inverse is
+    pure MXU work. bf16 stalls at ~cond*1e-2, so each f32 refinement pass
+    (two (C,C) matvecs) contracts the error by that factor — 2 passes give
+    ~1e-3 relative, far below what the LM accept logic can see.
+    """
+    C = S.shape[-1]
+    d = jnp.diagonal(S, axis1=-2, axis2=-1)
+    s = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
+    Sn = S * s[..., :, None] * s[..., None, :]
+    rho = jnp.max(jnp.sum(jnp.abs(Sn), -1), -1)
+    eye = jnp.eye(C, dtype=S.dtype)
+    Snb = Sn.astype(jnp.bfloat16)
+    X = (eye / rho[..., None, None]).astype(jnp.bfloat16)
+    two_eye = (2.0 * eye).astype(jnp.bfloat16)
+    for _ in range(iters):
+        X = (X @ (two_eye - Snb @ X)).astype(jnp.bfloat16)
+    Xf = X.astype(S.dtype) * s[..., :, None] * s[..., None, :]
+    z = jnp.einsum("...cd,...d->...c", Xf, b)
+    for _ in range(refine):
+        r = b - jnp.einsum("...cd,...d->...c", S, z)
+        z = z + jnp.einsum("...cd,...d->...c", Xf, r)
+    return z
 
 
 class BTFactors(NamedTuple):

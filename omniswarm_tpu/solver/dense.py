@@ -795,7 +795,7 @@ def _smw_solve_core(A, Boff, g, U, lam, *, exact: bool = False):
     else:
         from omniswarm_tpu.solver.block_tridiag import bt_apply, bt_factor
 
-        fac = bt_factor(Ad, Boff, ns_iters=8)
+        fac = bt_factor(Ad, Boff, ns_iters=8, direct_threshold=4)
         # gradient column in f32; the C Woodbury columns sweep in bf16 —
         # they only feed S and the final correction, and the K-RHS sweep
         # is HBM-bandwidth-bound (halving bytes ~halves its time). The
@@ -806,10 +806,13 @@ def _smw_solve_core(A, Boff, g, U, lam, *, exact: bool = False):
         "fmc,fmd->cd", U.astype(YU.dtype), YU,
         preferred_element_type=A.dtype)
     Uyb = jnp.einsum("fmc,fm->c", U, yb)
-    # capacitance solve: one (C, C) Cholesky — measured faster than a
-    # Newton-Schulz inverse at this size (C ~ 4L ~ 400, few batch lanes)
-    Lc, low = jsl.cho_factor(S, lower=True)
-    z = jsl.cho_solve((Lc, low), Uyb)
+    if exact:
+        Lc, low = jsl.cho_factor(S, lower=True)
+        z = jsl.cho_solve((Lc, low), Uyb)
+    else:
+        from omniswarm_tpu.solver.block_tridiag import spd_solve_approx
+
+        z = spd_solve_approx(S, Uyb)
     dx = yb - jnp.einsum("fmc,c->fm", YU, z.astype(YU.dtype),
                          preferred_element_type=A.dtype)
     return dx.reshape(-1)
