@@ -192,15 +192,49 @@ def ns_inverse(A: jnp.ndarray, iters: int = 12,
 
 
 @highp
-def spd_solve_approx(S: jnp.ndarray, b: jnp.ndarray, *, iters: int = 10,
-                     refine: int = 2) -> jnp.ndarray:
-    """Approximate SPD solve S z = b: bf16 Newton-Schulz + f32 refinement.
+def ns_inverse_warm(A: jnp.ndarray, X0: jnp.ndarray, iters: int = 3,
+                    guard: float = 0.95) -> jnp.ndarray:
+    """Newton-Schulz continued from a previous inverse of a nearby matrix.
+
+    NS contracts iff rho(I - A X0) < 1; across LM iterations the damped
+    Hessian blocks change by O(step), so the previous level inverses are
+    excellent starting points and ``iters``~3 squarings reach f32 noise
+    (error e -> e^(2^iters)). A per-block guard (row-sum norm of the NS
+    residual, an upper bound on the spectral radius) falls back to the safe
+    Jacobi start I/rho for any block where the warm start would diverge —
+    those blocks then keep contracting across subsequent LM iterations,
+    because the returned X seeds the next call (NS becomes one continued
+    iteration threaded through the outer loop).
+    """
+    n = A.shape[-1]
+    d = jnp.diagonal(A, axis1=-2, axis2=-1)
+    s = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
+    An = A * s[..., :, None] * s[..., None, :]
+    eye = jnp.eye(n, dtype=A.dtype)
+    # previous inverse rescaled into the new Jacobi frame: X0n ~= An^-1
+    X0n = X0 / jnp.maximum(s[..., :, None] * s[..., None, :], 1e-30)
+    E = eye - An @ X0n
+    enorm = jnp.max(jnp.sum(jnp.abs(E), -1), -1)
+    rho = jnp.max(jnp.sum(jnp.abs(An), -1), -1)
+    bad = (enorm > guard) | ~jnp.isfinite(enorm)
+    X = jnp.where(bad[..., None, None], eye / rho[..., None, None], X0n)
+    two_eye = 2.0 * eye
+    for _ in range(iters):
+        X = X @ (two_eye - An @ X)
+    return X * s[..., :, None] * s[..., None, :]
+
+
+@highp
+def spd_ns_inverse(S: jnp.ndarray, X0: jnp.ndarray | None = None, *,
+                   iters: int = 10, warm_iters: int = 3) -> jnp.ndarray:
+    """Approximate SPD inverse via bf16 Newton-Schulz (warm-startable).
 
     The TPU potrf/trsm custom calls serialize per batch element; for the
     Woodbury capacitance matrix (C ~ 400, few lanes) a bf16 NS inverse is
-    pure MXU work. bf16 stalls at ~cond*1e-2, so each f32 refinement pass
-    (two (C,C) matvecs) contracts the error by that factor — 2 passes give
-    ~1e-3 relative, far below what the LM accept logic can see.
+    pure MXU work. bf16 stalls at ~cond*1e-2 relative error — callers remove
+    it with f32 refinement passes against the exact matrix. With ``X0``
+    (a previous inverse of a nearby matrix) only ``warm_iters`` bf16
+    iterations re-stall it.
     """
     C = S.shape[-1]
     d = jnp.diagonal(S, axis1=-2, axis2=-1)
@@ -209,11 +243,34 @@ def spd_solve_approx(S: jnp.ndarray, b: jnp.ndarray, *, iters: int = 10,
     rho = jnp.max(jnp.sum(jnp.abs(Sn), -1), -1)
     eye = jnp.eye(C, dtype=S.dtype)
     Snb = Sn.astype(jnp.bfloat16)
-    X = (eye / rho[..., None, None]).astype(jnp.bfloat16)
+    if X0 is None:
+        X = (eye / rho[..., None, None]).astype(jnp.bfloat16)
+        n_iters = iters
+    else:
+        X0n = X0 / jnp.maximum(s[..., :, None] * s[..., None, :], 1e-30)
+        E = eye - Sn @ X0n
+        enorm = jnp.max(jnp.sum(jnp.abs(E), -1), -1)
+        bad = (enorm > 0.9) | ~jnp.isfinite(enorm)
+        X = jnp.where(bad[..., None, None], eye / rho[..., None, None],
+                      X0n).astype(jnp.bfloat16)
+        n_iters = warm_iters
     two_eye = (2.0 * eye).astype(jnp.bfloat16)
-    for _ in range(iters):
+    for _ in range(n_iters):
         X = (X @ (two_eye - Snb @ X)).astype(jnp.bfloat16)
-    Xf = X.astype(S.dtype) * s[..., :, None] * s[..., None, :]
+    return X.astype(S.dtype) * s[..., :, None] * s[..., None, :]
+
+
+@highp
+def spd_solve_approx(S: jnp.ndarray, b: jnp.ndarray, *, iters: int = 10,
+                     refine: int = 2,
+                     X0: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Approximate SPD solve S z = b: bf16 Newton-Schulz + f32 refinement.
+
+    bf16 NS stalls at ~cond*1e-2, so each f32 refinement pass (two (C,C)
+    matvecs) contracts the error by that factor — 2 passes give ~1e-3
+    relative, far below what the LM accept logic can see.
+    """
+    Xf = spd_ns_inverse(S, X0, iters=iters)
     z = jnp.einsum("...cd,...d->...c", Xf, b)
     for _ in range(refine):
         r = b - jnp.einsum("...cd,...d->...c", S, z)
@@ -224,26 +281,53 @@ def spd_solve_approx(S: jnp.ndarray, b: jnp.ndarray, *, iters: int = 10,
 class BTFactors(NamedTuple):
     """Reduction structure reused across refinement passes (rhs-independent)."""
     levels: Tuple     # per level: (Ainv, B_left, B_right, W_l, W_r)
-    tail_A: jnp.ndarray
-    tail_B: jnp.ndarray
+    tail_Hinv: jnp.ndarray    # dense NS inverse of the <=threshold tail
     F_orig: int
     Fp: int
 
 
+def bt_warm_state(fac: BTFactors) -> Tuple:
+    """Extract the warm-start pytree (per-level inverses + tail inverse)."""
+    return (tuple(lvl[0] for lvl in fac.levels), fac.tail_Hinv)
+
+
+def _dense_tail_H(A, B):
+    """Assemble the small dense tail system (Fl*m, Fl*m)."""
+    Fl, m = A.shape[0], A.shape[1]
+    dtype = A.dtype
+    eye_f = jnp.eye(Fl, dtype=dtype)
+    H = jnp.einsum("fij,fg->figj", A, eye_f)
+    if Fl > 1:
+        shift = jnp.eye(Fl, k=1, dtype=dtype)
+        Bpad = jnp.concatenate([B, jnp.zeros((1, m, m), dtype)], 0)
+        H = H + jnp.einsum("fij,fg->figj", Bpad, shift)
+        H = H + jnp.einsum("fij,fg->gjfi", Bpad, shift)
+    return H.reshape(Fl * m, Fl * m)
+
+
 @highp
 def bt_factor(A: jnp.ndarray, B: jnp.ndarray, *, direct_threshold: int = 8,
-              ns_iters: int = 12) -> BTFactors:
+              ns_iters: int = 12, tail_ns_iters: int = 14,
+              warm: Tuple | None = None,
+              warm_iters: int = 3) -> BTFactors:
     """Forward cyclic reduction of the matrices only (no rhs).
 
     Per level stores the Newton-Schulz inverse of the odd blocks plus the
     reduction operators W_l = B_left Ainv and W_r = B_right^T Ainv so that
-    bt_apply is nothing but matmuls. The <=direct_threshold tail stays exact
-    (one small Cholesky in bt_apply).
+    bt_apply is nothing but matmuls. The <=direct_threshold tail is also
+    inverted by NS — the full factor+apply pipeline contains zero
+    factorization custom calls.
+
+    ``warm`` (from bt_warm_state on a previous factor of a nearby matrix,
+    e.g. the previous LM iteration's damped Hessian) seeds every NS chain:
+    ``warm_iters`` squarings replace the full cold iteration count. Guarded
+    per block — see ns_inverse_warm.
     """
     dummy_rhs = jnp.zeros(A.shape[:1] + (A.shape[1], 0), A.dtype)
     A, B, _, F_orig, Fp = _pad_pow2(A, B, dummy_rhs)
 
     levels = []
+    li = 0
     while A.shape[0] > max(1, direct_threshold):
         Fl = A.shape[0]
         A_odd = A[1::2]
@@ -251,7 +335,11 @@ def bt_factor(A: jnp.ndarray, B: jnp.ndarray, *, direct_threshold: int = 8,
         B_right = jnp.zeros_like(B_left)
         if Fl > 2:
             B_right = B_right.at[:-1].set(B[1::2])
-        Ainv = ns_inverse(A_odd, ns_iters)
+        if warm is not None:
+            Ainv = ns_inverse_warm(A_odd, warm[0][li], warm_iters)
+        else:
+            Ainv = ns_inverse(A_odd, ns_iters)
+        li += 1
         W_l = jnp.einsum("tij,tjk->tik", B_left, Ainv)       # B[2t] Ainv
         W_r = jnp.einsum("tji,tjk->tik", B_right, Ainv)      # B^T Ainv
         A_new = A[0::2] - jnp.einsum("tij,tkj->tik", W_l, B_left)
@@ -261,7 +349,13 @@ def bt_factor(A: jnp.ndarray, B: jnp.ndarray, *, direct_threshold: int = 8,
         levels.append((Ainv, B_left, B_right, W_l, W_r))
         A, B = A_new, B_new
 
-    return BTFactors(levels=tuple(levels), tail_A=A, tail_B=B,
+    H_tail = _dense_tail_H(A, B)
+    if warm is not None:
+        tail_Hinv = ns_inverse_warm(H_tail, warm[1], warm_iters)
+    else:
+        tail_Hinv = ns_inverse(H_tail, tail_ns_iters)
+
+    return BTFactors(levels=tuple(levels), tail_Hinv=tail_Hinv,
                      F_orig=F_orig, Fp=Fp)
 
 
@@ -290,8 +384,11 @@ def bt_apply(fac: BTFactors, rhs: jnp.ndarray) -> jnp.ndarray:
         odd_rhs.append(rhs_odd)
         rhs = r_new
 
-    x = _dense_bt_solve(fac.tail_A, fac.tail_B,
-                        rhs.astype(fac.tail_A.dtype)).astype(dt)
+    n = fac.tail_Hinv.shape[-1]
+    Fl_tail = n // rhs.shape[1]
+    K = rhs.shape[-1]
+    x = (fac.tail_Hinv @ rhs.astype(fac.tail_Hinv.dtype).reshape(n, K))
+    x = x.reshape(Fl_tail, rhs.shape[1], K).astype(dt)
 
     # Back-substitution (exact given the level inverses).
     for (Ainv, B_left, B_right, _, _), rhs_odd in zip(

@@ -764,21 +764,28 @@ def assemble_blocks(graph: DenseGraph, poses: jnp.ndarray, *,
 
 
 @highp
-def _smw_solve_core(A, Boff, g, U, lam, *, exact: bool = False):
+def _smw_solve_core(A, Boff, g, U, lam, warm=None, *, exact: bool = False):
     """Damped (T + U U^T) dx = -g via block-tridiag solve + Woodbury.
 
     exact=False (default, the LM fast path) runs the matmul-only
     Newton-Schulz cyclic reduction (block_tridiag.bt_factor/bt_apply: no
-    per-block factorization custom calls — they serialize per block on
+    factorization custom calls anywhere — they serialize per block on
     v5e), sweeping the gradient column in f32 and the C Woodbury columns
     in bfloat16 (that sweep is HBM-bound; the columns only feed S and the
     final correction, both f32-accumulated). exact=True keeps the full
     Cholesky path (covariances, debugging). Fast-path step error is ~1e-3
     relative across the lambda range — invisible to LM accept/reject.
+
+    Returns ``(dx, warm_out)``. ``warm`` threads the Newton-Schulz state
+    (per-level block inverses, tail inverse, capacitance inverse) across LM
+    iterations: the damped Hessian changes by O(step) between iterations,
+    so 3 warm NS squarings replace the full cold chains (measured ~2x on
+    the factor stage). Pass warm=None for a cold start; feed each call's
+    warm_out into the next. exact=True ignores warm and returns ().
     """
     import jax.scipy.linalg as jsl
 
-    from omniswarm_tpu.solver.block_tridiag import bt_solve, bt_solve_ns
+    from omniswarm_tpu.solver.block_tridiag import bt_solve
 
     F, m = A.shape[0], A.shape[1]
     C = U.shape[-1]
@@ -793,9 +800,11 @@ def _smw_solve_core(A, Boff, g, U, lam, *, exact: bool = False):
         yb = Y[..., 0]                                   # (F, m)
         YU = Y[..., 1:]                                  # (F, m, C)
     else:
-        from omniswarm_tpu.solver.block_tridiag import bt_apply, bt_factor
+        from omniswarm_tpu.solver.block_tridiag import (
+            bt_apply, bt_factor, bt_warm_state)
 
-        fac = bt_factor(Ad, Boff, ns_iters=8, direct_threshold=4)
+        fac = bt_factor(Ad, Boff, ns_iters=8, direct_threshold=4,
+                        warm=None if warm is None else warm[:2])
         # gradient column in f32; the C Woodbury columns sweep in bf16 —
         # they only feed S and the final correction, and the K-RHS sweep
         # is HBM-bandwidth-bound (halving bytes ~halves its time). The
@@ -809,13 +818,20 @@ def _smw_solve_core(A, Boff, g, U, lam, *, exact: bool = False):
     if exact:
         Lc, low = jsl.cho_factor(S, lower=True)
         z = jsl.cho_solve((Lc, low), Uyb)
+        warm_out = ()
     else:
-        from omniswarm_tpu.solver.block_tridiag import spd_solve_approx
+        from omniswarm_tpu.solver.block_tridiag import spd_ns_inverse
 
-        z = spd_solve_approx(S, Uyb)
+        Xf = spd_ns_inverse(S, None if warm is None else warm[2])
+        z = jnp.einsum("cd,d->c", Xf, Uyb)
+        for _ in range(2):
+            r = Uyb - jnp.einsum("cd,d->c", S, z)
+            z = z + jnp.einsum("cd,d->c", Xf, r)
+        lvl, tail = bt_warm_state(fac)
+        warm_out = (lvl, tail, Xf)
     dx = yb - jnp.einsum("fmc,c->fm", YU, z.astype(YU.dtype),
                          preferred_element_type=A.dtype)
-    return dx.reshape(-1)
+    return dx.reshape(-1), warm_out
 
 
 def lm_solve_bt_impl(graph: DenseGraph, poses0: jnp.ndarray, *,
@@ -842,13 +858,16 @@ def lm_solve_bt_impl(graph: DenseGraph, poses0: jnp.ndarray, *,
     A0, B0, g0, U0, cost0 = assemble(poses0)
 
     smw_solve = functools.partial(_smw_solve_core, exact=exact_linear)
+    lam0 = jnp.asarray(1e-4, poses0.dtype)
+    # cold Newton-Schulz factor seeds the warm chain (dx discarded)
+    _, warm0 = smw_solve(A0, B0, g0, U0, lam0, None)
 
     def cond(state):
         return (~state[-1]) & (state[-2] < max_iterations)
 
     def body(state):
-        poses, A, B, g, U, cost, lam, it, _ = state
-        dx = smw_solve(A, B, g, U, lam)
+        poses, A, B, g, U, warm, cost, lam, it, _ = state
+        dx, warm = smw_solve(A, B, g, U, lam, warm)
         bad = ~jnp.all(jnp.isfinite(dx))
         new_poses = _apply_step(poses, jnp.where(bad, 0.0, dx))
         An, Bn, gn, Un, new_cost = assemble(new_poses)
@@ -862,13 +881,13 @@ def lm_solve_bt_impl(graph: DenseGraph, poses0: jnp.ndarray, *,
         lam = jnp.clip(jnp.where(accept, lam * 0.3, lam * 5.0), 1e-10, 1e10)
         converged = accept & (cost - new_cost <= function_tolerance * cost)
         stalled = (~accept) & (lam >= 1e9)
-        return poses, A, B, g, U, out_cost, lam, it + 1, converged | stalled
+        return (poses, A, B, g, U, warm, out_cost, lam, it + 1,
+                converged | stalled)
 
-    state0 = (poses0, A0, B0, g0, U0, cost0,
-              jnp.asarray(1e-4, poses0.dtype), jnp.zeros((), jnp.int32),
-              jnp.asarray(False))
+    state0 = (poses0, A0, B0, g0, U0, warm0, cost0, lam0,
+              jnp.zeros((), jnp.int32), jnp.asarray(False))
     out = jax.lax.while_loop(cond, body, state0)
-    poses, cost, lam, it = out[0], out[5], out[6], out[7]
+    poses, cost, lam, it = out[0], out[6], out[7], out[8]
     return SolveResult(poses=poses, cost=cost, initial_cost=cost0,
                        iterations=it, lam=lam)
 
@@ -903,18 +922,23 @@ def lm_solve_bt_batched_impl(graph: DenseGraph, poses0_batch: jnp.ndarray,
         assemble_blocks, graph, huber_delta=huber_delta,
         det_sphere_std=det_sphere_std, det_inv_dep_std=det_inv_dep_std))
 
-    smw_solve = jax.vmap(
-        functools.partial(_smw_solve_core, exact=exact_linear),
-        in_axes=(0, 0, 0, 0, 0))
+    smw_cold = jax.vmap(
+        lambda a, b, g, u, l: _smw_solve_core(a, b, g, u, l, None,
+                                              exact=exact_linear))
+    smw_warm = jax.vmap(
+        lambda a, b, g, u, l, w: _smw_solve_core(a, b, g, u, l, w,
+                                                 exact=exact_linear))
 
     A0, B0, g0, U0, cost0 = assemble(poses0_batch)
+    lam0 = jnp.full((B,), 1e-4, poses0_batch.dtype)
+    _, warm0 = smw_cold(A0, B0, g0, U0, lam0)
 
     def cond(state):
         return (~jnp.all(state[-1])) & (state[-2] < max_iterations)
 
     def body(state):
-        poses, A, Boff, g, U, cost, lam, it, done = state
-        dx = smw_solve(A, Boff, g, U, lam)
+        poses, A, Boff, g, U, warm, cost, lam, it, done = state
+        dx, warm = smw_warm(A, Boff, g, U, lam, warm)
         bad = ~jnp.all(jnp.isfinite(dx), axis=-1)
         dx = jnp.where(bad[:, None], 0.0, dx)
         new_poses = jax.vmap(_apply_step)(poses, dx)
@@ -935,14 +959,13 @@ def lm_solve_bt_batched_impl(graph: DenseGraph, poses0_batch: jnp.ndarray,
             jnp.where(accept, lam * 0.3, lam * 5.0), 1e-10, 1e10))
         converged = accept & (cost - new_cost <= function_tolerance * cost)
         stalled = (~accept) & (lam >= 1e9) & ~done
-        return (poses, A, Boff, g, U, out_cost, lam, it + 1,
+        return (poses, A, Boff, g, U, warm, out_cost, lam, it + 1,
                 done | converged | stalled)
 
-    state0 = (poses0_batch, A0, B0, g0, U0, cost0,
-              jnp.full((B,), 1e-4, poses0_batch.dtype),
+    state0 = (poses0_batch, A0, B0, g0, U0, warm0, cost0, lam0,
               jnp.zeros((), jnp.int32), jnp.zeros((B,), bool))
     out = jax.lax.while_loop(cond, body, state0)
-    poses, cost, lam, it = out[0], out[5], out[6], out[7]
+    poses, cost, lam, it = out[0], out[6], out[7], out[8]
     return SolveResult(poses=poses, cost=cost, initial_cost=cost0,
                        iterations=it, lam=lam)
 
