@@ -192,7 +192,7 @@ def ns_inverse(A: jnp.ndarray, iters: int = 12,
 
 
 @highp
-def ns_inverse_warm(A: jnp.ndarray, X0: jnp.ndarray, iters: int = 3,
+def ns_inverse_warm(A: jnp.ndarray, X0: jnp.ndarray, iters: int = 2,
                     guard: float = 0.95) -> jnp.ndarray:
     """Newton-Schulz continued from a previous inverse of a nearby matrix.
 
@@ -226,7 +226,7 @@ def ns_inverse_warm(A: jnp.ndarray, X0: jnp.ndarray, iters: int = 3,
 
 @highp
 def spd_ns_inverse(S: jnp.ndarray, X0: jnp.ndarray | None = None, *,
-                   iters: int = 10, warm_iters: int = 3) -> jnp.ndarray:
+                   iters: int = 10, warm_iters: int = 2) -> jnp.ndarray:
     """Approximate SPD inverse via bf16 Newton-Schulz (warm-startable).
 
     The TPU potrf/trsm custom calls serialize per batch element; for the
@@ -247,12 +247,16 @@ def spd_ns_inverse(S: jnp.ndarray, X0: jnp.ndarray | None = None, *,
         X = (eye / rho[..., None, None]).astype(jnp.bfloat16)
         n_iters = iters
     else:
-        X0n = X0 / jnp.maximum(s[..., :, None] * s[..., None, :], 1e-30)
-        E = eye - Sn @ X0n
-        enorm = jnp.max(jnp.sum(jnp.abs(E), -1), -1)
+        # guard residual in bf16: it only feeds a ~0.9 threshold test, and
+        # the f32 (C, C) matmul would cost more than the warm start saves
+        X0n = (X0 / jnp.maximum(s[..., :, None] * s[..., None, :],
+                                1e-30)).astype(jnp.bfloat16)
+        E = eye.astype(jnp.bfloat16) - Snb @ X0n
+        enorm = jnp.max(jnp.sum(jnp.abs(E.astype(S.dtype)), -1), -1)
         bad = (enorm > 0.9) | ~jnp.isfinite(enorm)
-        X = jnp.where(bad[..., None, None], eye / rho[..., None, None],
-                      X0n).astype(jnp.bfloat16)
+        X = jnp.where(bad[..., None, None],
+                      (eye / rho[..., None, None]).astype(jnp.bfloat16),
+                      X0n)
         n_iters = warm_iters
     two_eye = (2.0 * eye).astype(jnp.bfloat16)
     for _ in range(n_iters):
@@ -309,7 +313,7 @@ def _dense_tail_H(A, B):
 def bt_factor(A: jnp.ndarray, B: jnp.ndarray, *, direct_threshold: int = 8,
               ns_iters: int = 12, tail_ns_iters: int = 14,
               warm: Tuple | None = None,
-              warm_iters: int = 3) -> BTFactors:
+              warm_iters: int = 2) -> BTFactors:
     """Forward cyclic reduction of the matrices only (no rhs).
 
     Per level stores the Newton-Schulz inverse of the odd blocks plus the

@@ -48,6 +48,10 @@ def main():
     assemble = jax.vmap(functools.partial(assemble_blocks, graph))
     smw = jax.vmap(lambda a, b, g_, u, l: _smw_solve_core(
         a, b, g_, u, l, None, exact=False)[0])
+    smw_cold_full = jax.vmap(lambda a, b, g_, u, l: _smw_solve_core(
+        a, b, g_, u, l, None, exact=False))
+    smw_warm = jax.vmap(lambda a, b, g_, u, l, w: _smw_solve_core(
+        a, b, g_, u, l, w, exact=False))
 
     A0, B0, g0, U0, c0 = assemble(inits)
     print("shapes: A", A0.shape, "B", B0.shape, "g", g0.shape, "U", U0.shape)
@@ -79,9 +83,31 @@ def main():
             return p + 1e-12 * dx.reshape(p.shape), acc + c
         return jax.lax.fori_loop(0, REPS, body, (poses, jnp.zeros((B,))))
 
+    @jax.jit
+    def loop_smw_warm(A, Boff, g, U, lam):
+        _, w0 = smw_cold_full(A, Boff, g, U, lam)
+        def body(i, carry):
+            g_, w, acc = carry
+            dx, w = smw_warm(A, Boff, g_, U, lam, w)
+            return g_ + 1e-12 * dx.reshape(g_.shape), w, acc + dx[:, 0]
+        return jax.lax.fori_loop(0, REPS, body, (g, w0, jnp.zeros((B,))))[2]
+
+    @jax.jit
+    def loop_both_warm(poses, lam):
+        A_, B_, g_, U_, _ = assemble(poses)
+        _, w0 = smw_cold_full(A_, B_, g_, U_, lam)
+        def body(i, carry):
+            p, w, acc = carry
+            A, Boff, g, U, c = assemble(p)
+            dx, w = smw_warm(A, Boff, g, U, lam, w)
+            return p + 1e-12 * dx.reshape(p.shape), w, acc + c
+        return jax.lax.fori_loop(0, REPS, body, (poses, w0, jnp.zeros((B,))))[2]
+
     timeit("assemble_blocks (B=8)", loop_assemble, inits)
-    timeit("smw_solve (B=8)", loop_smw, A0, B0, g0, U0, lam)
-    timeit("assemble+smw (B=8)", loop_both, inits, lam)
+    timeit("smw_solve cold (B=8)", loop_smw, A0, B0, g0, U0, lam)
+    timeit("smw_solve warm (B=8)", loop_smw_warm, A0, B0, g0, U0, lam)
+    timeit("assemble+smw cold (B=8)", loop_both, inits, lam)
+    timeit("assemble+smw warm (B=8)", loop_both_warm, inits, lam)
 
 
 
@@ -117,7 +143,7 @@ def profile_smw_internals():
         return bt_apply(fac, rhs)
 
     vfactor = jax.vmap(lambda Ad, Boff: bt_factor(
-        Ad, Boff, ns_iters=8, direct_threshold=4).tail_A)
+        Ad, Boff, ns_iters=8, direct_threshold=4).tail_Hinv)
     vfactor_apply = jax.vmap(_factor_apply)
 
     @jax.jit
