@@ -47,10 +47,17 @@ class MobileNetEncoder(nn.Module):
 
 
 class NetVLAD(nn.Module):
-    """NetVLAD pooling: (B, H, W, C) → (B, K*C) → projected descriptor."""
+    """NetVLAD pooling: (B, H, W, C) → (B, K*C) → projected descriptor.
+
+    With ``use_proj=False`` the raw intra-normalized VLAD vector (K*C dims,
+    which callers should pick equal to out_dim) is returned directly — this
+    keeps the bundled checkpoint small (the 4096→4096 projection of a
+    64-cluster VLAD would be 134M parameters).
+    """
 
     num_clusters: int = 64
     out_dim: int = 4096
+    use_proj: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -73,6 +80,8 @@ class NetVLAD(nn.Module):
         vlad = vlad.reshape(B, -1)
         vlad = vlad / jnp.maximum(
             jnp.linalg.norm(vlad, axis=-1, keepdims=True), 1e-8)
+        if not self.use_proj:
+            return vlad
         out = nn.Dense(self.out_dim, use_bias=False, name="proj")(vlad)
         return out / jnp.maximum(
             jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-8)
@@ -81,20 +90,25 @@ class NetVLAD(nn.Module):
 class MobileNetVLAD(nn.Module):
     num_clusters: int = 64
     out_dim: int = 4096
+    use_proj: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, images):
         """images: (B, H, W, 1) grayscale in [0,1] → (B, out_dim) unit desc."""
         x = MobileNetEncoder(dtype=self.dtype, name="encoder")(images)
-        return NetVLAD(self.num_clusters, self.out_dim, name="vlad")(x)
+        return NetVLAD(self.num_clusters, self.out_dim, self.use_proj,
+                       name="vlad")(x)
 
 
 class GlobalDescriptorExtractor:
     def __init__(self, params: Optional[Dict] = None, *, height: int = 208,
-                 width: int = 400, out_dim: int = 4096,
+                 width: int = 400, num_clusters: int = 64,
+                 out_dim: int = 4096, use_proj: bool = True,
                  dtype: Any = jnp.float32, seed: int = 0):
-        self.model = MobileNetVLAD(out_dim=out_dim, dtype=dtype)
+        self.model = MobileNetVLAD(num_clusters=num_clusters,
+                                   out_dim=out_dim, use_proj=use_proj,
+                                   dtype=dtype)
         if params is None:
             params = self.model.init(
                 jax.random.PRNGKey(seed),
@@ -104,3 +118,48 @@ class GlobalDescriptorExtractor:
 
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
         return self._apply(self.params, images)
+
+
+DEFAULT_WEIGHTS = "weights/netvlad_synthetic.npz"
+
+# bundled checkpoint architecture: K*C = 8*512 = 4096 = out_dim, no proj
+BUNDLED_CLUSTERS = 8
+BUNDLED_OUT_DIM = 4096
+
+
+def save_netvlad_npz(params: Dict, path: str) -> None:
+    """Save MobileNetVLAD params as a flat float16 npz."""
+    import numpy as np
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(params, sep="/")
+    np.savez_compressed(
+        path, **{k: np.asarray(v, np.float16) for k, v in flat.items()})
+
+
+def load_netvlad_npz(path: str) -> Dict:
+    """Load MobileNetVLAD params saved by save_netvlad_npz."""
+    import numpy as np
+    from flax.traverse_util import unflatten_dict
+
+    raw = np.load(path)
+    return unflatten_dict(
+        {k: jnp.asarray(raw[k], jnp.float32) for k in raw.files}, sep="/")
+
+
+def pretrained_global_extractor(**kw) -> "GlobalDescriptorExtractor":
+    """GlobalDescriptorExtractor with the bundled synthetic-trained weights.
+
+    Trained by tools/train_netvlad_tool.py with an in-batch contrastive
+    (NT-Xent) objective on synthetic places under viewpoint/illumination
+    jitter — the zero-egress stand-in for the reference's pretrained
+    MobileNetVLAD TensorRT engine (mobilenetvlad_tensorrt.cpp, 4096-d).
+    """
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), DEFAULT_WEIGHTS)
+    params = load_netvlad_npz(path)
+    kw.setdefault("num_clusters", BUNDLED_CLUSTERS)
+    kw.setdefault("out_dim", BUNDLED_OUT_DIM)
+    kw.setdefault("use_proj", False)
+    return GlobalDescriptorExtractor(params, **kw)

@@ -1,4 +1,5 @@
 from omniswarm_tpu.ops import (  # noqa: F401
+    camera,
     keypoints,
     matching,
     placedb,

@@ -14,8 +14,9 @@ depth) camera frame + VIO pose into a shareable KeyframeData:
 
 Both CNN extractors are injectable so the pipeline is testable with
 synthetic features; the default wiring uses the Flax models. Camera model:
-normalized pinhole (fx, fy, cx, cy) — bearings are unit rays in the
-gravity-aligned body frame.
+anything exposing ``bearings(xy) -> unit rays`` — the simple pinhole below,
+or any ops.camera model (PinholeCamera/MeiCamera/EquidistantCamera, the
+camodocal equivalents) wrapped in ops.camera.CameraBearings.
 """
 from __future__ import annotations
 

@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Train MobileNetVLAD on synthetic places and save a checkpoint.
+
+Runs on whatever backend jax picks (the real TPU under axon); the saved
+checkpoint loads via models.netvlad.pretrained_global_extractor.
+
+    python tools/train_netvlad_tool.py --steps 600 --out weights/nv.npz
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--places", type=int, default=16)
+    ap.add_argument("--pool", type=int, default=256)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint to continue from")
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+
+    from omniswarm_tpu.models.netvlad import (
+        load_netvlad_npz,
+        save_netvlad_npz,
+    )
+    from omniswarm_tpu.models.train_netvlad import (
+        retrieval_metrics,
+        train_netvlad,
+    )
+
+    params = load_netvlad_npz(args.resume) if args.resume else None
+    params, history = train_netvlad(
+        steps=args.steps, places_per_batch=args.places, pool_size=args.pool,
+        lr=args.lr, seed=args.seed, params=params,
+        log_every=max(args.steps // 20, 1))
+    for it, loss in history:
+        print(f"step {it:5d} loss {loss:.4f}")
+    m = retrieval_metrics(params)
+    print(f"eval: recall@1 {m['recall_at_1']:.3f} "
+          f"margin {m['mean_margin']:.3f} "
+          f"(pos {m['mean_pos_sim']:.3f} vs top-neg "
+          f"{m['mean_top_neg_sim']:.3f})")
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    save_netvlad_npz(params, args.out)
+    print(f"saved {args.out}")
+
+
+if __name__ == "__main__":
+    main()
