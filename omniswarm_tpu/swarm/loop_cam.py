@@ -68,20 +68,35 @@ class LoopCam:
         self._gd = global_extractor
 
     def _ensure_models(self):
+        # default wiring prefers the bundled synthetic-trained checkpoints
+        # (tools/train_superpoint_tool.py, tools/train_netvlad_tool.py);
+        # random init is the fallback when a weights file is absent.
         if self._kp is None:
-            from omniswarm_tpu.models.superpoint import SuperPointExtractor
+            from omniswarm_tpu.models.superpoint import (
+                SuperPointExtractor, pretrained_extractor)
 
-            self._kp = SuperPointExtractor(
-                height=self.p.height, width=self.p.width,
-                max_keypoints=self.p.max_keypoints,
-                threshold=self.p.superpoint_thres,
-                nms_dist=self.p.nms_dist, pca_dim=self.p.local_desc_dim)
+            kw = dict(height=self.p.height, width=self.p.width,
+                      max_keypoints=self.p.max_keypoints,
+                      threshold=self.p.superpoint_thres,
+                      nms_dist=self.p.nms_dist, pca_dim=self.p.local_desc_dim)
+            try:
+                self._kp = pretrained_extractor(**kw)
+            except (FileNotFoundError, OSError):
+                self._kp = SuperPointExtractor(**kw)
         if self._gd is None:
-            from omniswarm_tpu.models.netvlad import GlobalDescriptorExtractor
+            from omniswarm_tpu.models.netvlad import (
+                GlobalDescriptorExtractor, pretrained_global_extractor)
 
-            self._gd = GlobalDescriptorExtractor(
-                height=self.p.height, width=self.p.width,
-                out_dim=self.p.global_desc_dim)
+            try:
+                # bundled checkpoint is use_proj=False with K*C = 4096
+                if self.p.global_desc_dim != 4096:
+                    raise FileNotFoundError
+                self._gd = pretrained_global_extractor(
+                    height=self.p.height, width=self.p.width)
+            except (FileNotFoundError, OSError):
+                self._gd = GlobalDescriptorExtractor(
+                    height=self.p.height, width=self.p.width,
+                    out_dim=self.p.global_desc_dim)
 
     def on_stereo_frame(self, drone_id: int, frame_id: int, t: float,
                         vio_pose: np.ndarray, left: np.ndarray,
