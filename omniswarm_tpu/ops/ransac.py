@@ -93,7 +93,11 @@ def _score(points, bearings, valid, yaw, t, cos_thresh):
     return inl, cosang
 
 
+from omniswarm_tpu.core.precision import highp
+
+
 @functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+@highp
 def pnp_ransac_4dof(
     points: jnp.ndarray,      # (K, 3) in frame B
     bearings: jnp.ndarray,    # (K, 3) unit, in frame A

@@ -50,8 +50,14 @@ def main():
         np.savetxt(args.out_mean, mean[None], delimiter=",")
     if args.out_npz:
         base = dict(np.load(args.out_npz))
-        base["pca_components"] = comps
-        base["pca_mean"] = mean
+        # flax-npz checkpoints (models.superpoint.save_flax_npz) mark
+        # non-network extras with a dunder prefix
+        flax_style = any(k.count("/") for k in base)
+        pfx = "__" if flax_style else ""
+        base.pop("pca_components", None)
+        base.pop("pca_mean", None)
+        base[pfx + "pca_components"] = comps
+        base[pfx + "pca_mean"] = mean
         np.savez(args.out_npz, **base)
         print(f"updated {args.out_npz}")
 

@@ -20,20 +20,41 @@ def main():
     ap.add_argument("--height", type=int, default=64)
     ap.add_argument("--width", type=int, default=96)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--descriptor-steps", type=int, default=0,
+                    help="joint detector+descriptor steps (stage 2)")
+    ap.add_argument("--resume", default=None)
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
 
-    from omniswarm_tpu.models.superpoint import save_flax_npz
+    from omniswarm_tpu.models.superpoint import load_flax_npz, save_flax_npz
     from omniswarm_tpu.models.train_superpoint import (
         detection_metrics,
+        matching_metrics,
+        train_descriptors,
         train_detector,
     )
 
-    params, history = train_detector(
-        steps=args.steps, batch=args.batch, h=args.height, w=args.width,
-        lr=args.lr, log_every=max(args.steps // 20, 1))
-    for it, loss in history:
-        print(f"step {it:5d} loss {loss:.4f}")
+    params = None
+    if args.resume:
+        loaded = load_flax_npz(args.resume)
+        params = loaded["net"]
+    if args.steps > 0:
+        params, history = train_detector(
+            steps=args.steps, batch=args.batch, h=args.height, w=args.width,
+            lr=args.lr, log_every=max(args.steps // 20, 1), params=params)
+        for it, loss in history:
+            print(f"step {it:5d} loss {loss:.4f}")
+    if args.descriptor_steps > 0:
+        params, history = train_descriptors(
+            steps=args.descriptor_steps, batch=args.batch, h=args.height,
+            w=args.width, lr=args.lr, params=params,
+            log_every=max(args.descriptor_steps // 20, 1))
+        for it, loss, ld, lc in history:
+            print(f"step {it:5d} loss {loss:.4f} (desc {ld:.4f} det {lc:.4f})")
+        mm = matching_metrics(params, n_eval=16,
+                              h=args.height, w=args.width)
+        print(f"eval: match precision {mm['match_precision']:.3f} "
+              f"over {mm['matches']} matches")
     m = detection_metrics(params, n_eval=32)
     print(f"eval: precision {m['precision']:.3f} recall {m['recall']:.3f}")
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
