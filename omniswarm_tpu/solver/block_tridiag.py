@@ -213,13 +213,20 @@ def ns_inverse_warm(A: jnp.ndarray, X0: jnp.ndarray, iters: int = 2,
     eye = jnp.eye(n, dtype=A.dtype)
     # previous inverse rescaled into the new Jacobi frame: X0n ~= An^-1
     X0n = X0 / jnp.maximum(s[..., :, None] * s[..., None, :], 1e-30)
-    E = eye - An @ X0n
-    enorm = jnp.max(jnp.sum(jnp.abs(E), -1), -1)
+    # the guard residual M = An X0n doubles as the first NS iteration's
+    # inner product, so the check costs no extra matmul; fallback blocks
+    # use the Jacobi start whose product An/rho is elementwise
+    M = An @ X0n
+    enorm = jnp.max(jnp.sum(jnp.abs(eye - M), -1), -1)
     rho = jnp.max(jnp.sum(jnp.abs(An), -1), -1)
     bad = (enorm > guard) | ~jnp.isfinite(enorm)
-    X = jnp.where(bad[..., None, None], eye / rho[..., None, None], X0n)
+    badm = bad[..., None, None]
+    rho_ = rho[..., None, None]
+    X = jnp.where(badm, eye / rho_, X0n)
+    M = jnp.where(badm, An / rho_, M)
     two_eye = 2.0 * eye
-    for _ in range(iters):
+    X = X @ (two_eye - M)
+    for _ in range(max(iters - 1, 0)):
         X = X @ (two_eye - An @ X)
     return X * s[..., :, None] * s[..., None, :]
 

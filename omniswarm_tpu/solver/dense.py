@@ -789,9 +789,12 @@ def _smw_solve_core(A, Boff, g, U, lam, warm=None, *, exact: bool = False):
 
     F, m = A.shape[0], A.shape[1]
     C = U.shape[-1]
-    # damping on the FULL Hessian diagonal: diag(T) + diag(U U^T)
+    # damping on the FULL Hessian diagonal: diag(T) + diag(U U^T).
+    # U may arrive bfloat16 (the batched LM loop carries it that way to
+    # halve select/cast traffic); accumulate its diagonal in f32.
     diagT = jnp.diagonal(A, axis1=-2, axis2=-1)          # (F, m)
-    diagU = jnp.sum(U * U, axis=-1)                      # (F, m)
+    diagU = jnp.einsum("fmc,fmc->fm", U, U,
+                       preferred_element_type=A.dtype)   # (F, m)
     d = lam * jnp.maximum(diagT + diagU, 1e-6)
     Ad = A + d[..., None] * jnp.eye(m, dtype=A.dtype)[None]
     if exact:
@@ -814,7 +817,8 @@ def _smw_solve_core(A, Boff, g, U, lam, warm=None, *, exact: bool = False):
     S = jnp.eye(C, dtype=A.dtype) + jnp.einsum(
         "fmc,fmd->cd", U.astype(YU.dtype), YU,
         preferred_element_type=A.dtype)
-    Uyb = jnp.einsum("fmc,fm->c", U, yb)
+    Uyb = jnp.einsum("fmc,fm->c", U, yb.astype(U.dtype),
+                     preferred_element_type=A.dtype)
     if exact:
         Lc, low = jsl.cho_factor(S, lower=True)
         z = jsl.cho_solve((Lc, low), Uyb)
@@ -856,6 +860,10 @@ def lm_solve_bt_impl(graph: DenseGraph, poses0: jnp.ndarray, *,
         det_sphere_std=det_sphere_std, det_inv_dep_std=det_inv_dep_std)
 
     A0, B0, g0, U0, cost0 = assemble(poses0)
+    if not exact_linear:
+        # the Woodbury columns sweep in bf16 anyway; carrying U bf16 halves
+        # the accept-select and state traffic on the largest array
+        U0 = U0.astype(jnp.bfloat16)
 
     smw_solve = functools.partial(_smw_solve_core, exact=exact_linear)
     lam0 = jnp.asarray(1e-4, poses0.dtype)
@@ -876,7 +884,7 @@ def lm_solve_bt_impl(graph: DenseGraph, poses0: jnp.ndarray, *,
         A = jnp.where(accept, An, A)
         B = jnp.where(accept, Bn, B)
         g = jnp.where(accept, gn, g)
-        U = jnp.where(accept, Un, U)
+        U = jnp.where(accept, Un.astype(U.dtype), U)
         out_cost = jnp.where(accept, new_cost, cost)
         lam = jnp.clip(jnp.where(accept, lam * 0.3, lam * 5.0), 1e-10, 1e10)
         converged = accept & (cost - new_cost <= function_tolerance * cost)
@@ -930,6 +938,8 @@ def lm_solve_bt_batched_impl(graph: DenseGraph, poses0_batch: jnp.ndarray,
                                                  exact=exact_linear))
 
     A0, B0, g0, U0, cost0 = assemble(poses0_batch)
+    if not exact_linear:
+        U0 = U0.astype(jnp.bfloat16)
     lam0 = jnp.full((B,), 1e-4, poses0_batch.dtype)
     _, warm0 = smw_cold(A0, B0, g0, U0, lam0)
 
@@ -953,7 +963,7 @@ def lm_solve_bt_batched_impl(graph: DenseGraph, poses0_batch: jnp.ndarray,
         A = sel(An, A)
         Boff = sel(Bn, Boff)
         g = sel(gn, g)
-        U = sel(Un, U)
+        U = sel(Un.astype(U.dtype), U)
         out_cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(done, lam, jnp.clip(
             jnp.where(accept, lam * 0.3, lam * 5.0), 1e-10, 1e10))
