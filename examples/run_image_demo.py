@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Image-driven end-to-end demo: the full stack from PIXELS to poses.
+
+Where run_demo.py feeds the pipeline synthetic feature-level keyframes,
+this demo renders actual stereo imagery of a textured room (4 walls) from
+each drone's omnidirectional rig and runs the REAL front-end on it:
+SuperPoint keypoints + descriptors and NetVLAD place recognition (the
+bundled TPU-trained checkpoints), matmul mutual matching, stereo
+triangulation, 4-DoF PnP RANSAC — then the decentralized back-end exactly
+as on hardware: lossy multicast exchange, PCM outlier rejection, and the
+sliding-window block-tridiagonal solver on every drone.
+
+    python examples/run_image_demo.py [--drones 3] [--frames 24]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from omniswarm_tpu import sim
+from omniswarm_tpu.config import FrontendParams, SolverParams
+from omniswarm_tpu.eval import metrics
+from omniswarm_tpu.sim.image_world import RoomWorld, _rotz
+from omniswarm_tpu.sim.simulator import wrap
+from omniswarm_tpu.swarm.comm import LossyBus
+from omniswarm_tpu.swarm.loop_cam import CameraIntrinsics, OmniLoopCam
+from omniswarm_tpu.swarm.node import DroneNode
+from omniswarm_tpu.utils.telemetry import GLOBAL as telemetry
+
+BASELINE = 0.2
+
+
+def render_direction_stereo(world, pose, view_yaw, intr, h, w, rng):
+    cam_pose = np.asarray(pose, float).copy()
+    cam_pose[3] = wrap(cam_pose[3] + view_yaw)
+    left = world.render(cam_pose, intr, h, w, rng=rng)
+    off_w = _rotz(cam_pose[3]) @ np.array([0.0, -BASELINE, 0.0])
+    pose_r = cam_pose.copy()
+    pose_r[:3] += off_w
+    right = world.render(pose_r, intr, h, w, rng=rng)
+    return left, right
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--drones", type=int, default=3)
+    ap.add_argument("--frames", type=int, default=24)
+    ap.add_argument("--drop", type=float, default=0.05)
+    ap.add_argument("--kf-every", type=int, default=2)
+    args = ap.parse_args()
+
+    D, F = args.drones, args.frames
+    print(f"{D} drones x {F} frames in a textured room; "
+          "rendering + CNN front-end per keyframe ...")
+    data = sim.generate(sim.SimParams(
+        num_drones=D, num_frames=F, seed=7,
+        radius_range=(2.0, 3.5), z_range=(0.8, 2.0)))
+    world = RoomWorld(half=6.0, seed=11)
+    rng = np.random.default_rng(0)
+
+    fp = FrontendParams(max_db_size=512, min_loop_matches=15,
+                        match_index_dist=4, netvlad_thres=0.4,
+                        pnp_iterations=256,
+                        accept_loop_yaw_mod=float(np.pi / 2))
+    intr = CameraIntrinsics(fx=220, fy=220, cx=fp.width / 2,
+                            cy=fp.height / 2)
+    bus = LossyBus(drop_rate=args.drop, seed=3)
+    nodes = []
+    cams = []
+    for d in range(D):
+        node = DroneNode(d, bus,
+                         solver_params=SolverParams(
+                             pcm_redundant=False, max_iterations=60,
+                             init_z_movement=0.05),
+                         frontend_params=fp, global_dim=4096, seed=d)
+        nodes.append(node)
+        cams.append(OmniLoopCam(params=fp, intrinsics=intr,
+                                baseline=BASELINE))
+
+    n_kf = 0
+    for k in range(F):
+        t = float(data.times[k])
+        vio = {d: data.vio[k, d] for d in range(D)}
+        ranges = {(a, b): float(data.ranges[k, a, b])
+                  for a in range(D) for b in range(D)
+                  if a != b and data.range_valid[k, a, b]}
+        for node in nodes:
+            node.on_swarm_frame(t, vio, ranges)
+        if k % args.kf_every == 0:
+            for d, node in enumerate(nodes):
+                pairs = [render_direction_stereo(
+                    world, data.gt[k, d], vy, intr, fp.height, fp.width,
+                    rng) for vy in OmniLoopCam.VIEW_YAWS]
+                kf = cams[d].on_fisheye_frame(
+                    d, k, t, data.vio[k, d], pairs)
+                node.on_local_keyframe(kf, t)
+                n_kf += 1
+        bus.step(t + 0.01)
+        for node in nodes:
+            node.step(t + 0.02)
+
+    print(f"keyframes: {n_kf} (4-direction stereo each); "
+          f"loops found: {sum(n.loops_found for n in nodes)}, "
+          f"received: {sum(n.loops_received for n in nodes)}")
+
+    ok = True
+    for node in nodes:
+        out = node.solve(t=float(data.times[-1]))
+        est = node.estimator
+        if not out.get("solved") or est.estimate is None:
+            print(f"drone {node.drone_id}: NOT SOLVED ({out})")
+            ok = False
+            continue
+        kf_idx = [int(round(kf.t)) for kf in est.window]
+        gt = data.gt[kf_idx]
+        vio = data.vio[kf_idx]
+        rel = metrics.mean_relative_ate(est.estimate, gt)
+        rel_vio = metrics.mean_relative_ate(vio, gt)
+        print(f"drone {node.drone_id}: cost={out['cost']:.1f} "
+              f"relative ATE {rel * 100:.1f} cm "
+              f"(raw VIO: {rel_vio * 100:.1f} cm)")
+
+    print("\ntelemetry:")
+    print(telemetry.summary())
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -115,12 +115,18 @@ class FrontendParams:
     min_movement_keyframe: float = 0.3
     max_freq: float = 1.0
     triangulate_max_err: float = 0.05
-    pnp_iterations: int = 100
+    pnp_iterations: int = 256
     pnp_reproj_err: float = 0.03        # normalized-plane RANSAC threshold
     loop_cov_pos: float = 0.02
     loop_cov_ang: float = 0.01
     max_db_size: int = 4096             # place-recognition database capacity
     accept_loop_max_yaw: float = 30.0   # deg, ACCEPT_LOOP_YAW
+    # for multi-direction (omnidirectional) rigs: gate |dyaw| modulo this
+    # period instead of absolutely (radians; 0 disables). The reference
+    # gates dyaw after rotating correspondences into the matched camera
+    # direction (loop_detector.cpp:431-537), which removes multiples of the
+    # direction spacing; the bearing-space merge needs the same allowance.
+    accept_loop_yaw_mod: float = 0.0
     accept_loop_max_pos: float = 3.0    # m, MAX_LOOP_DIS
 
 

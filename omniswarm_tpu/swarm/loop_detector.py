@@ -143,7 +143,11 @@ class LoopDetector:
         # verification gates (pnp_result_verify):
         if n_inl < min_inliers:
             return None
-        if abs(np.degrees(wrap(dpose_new_in_old[3]))) > self.p.accept_loop_max_yaw:
+        dyaw = wrap(dpose_new_in_old[3])
+        if self.p.accept_loop_yaw_mod > 0:
+            mod = self.p.accept_loop_yaw_mod
+            dyaw = dyaw - mod * np.round(dyaw / mod)
+        if abs(np.degrees(dyaw)) > self.p.accept_loop_max_yaw:
             return None
         if np.linalg.norm(dpose_new_in_old[:3]) > self.p.accept_loop_max_pos:
             return None
