@@ -19,6 +19,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from omniswarm_tpu.core.precision import highp
+
 
 class PnPResult(NamedTuple):
     dpose: jnp.ndarray        # (4,) [tx, ty, tz, yaw]: B expressed in A
@@ -91,9 +93,6 @@ def _score(points, bearings, valid, yaw, t, cos_thresh):
     cosang = jnp.sum(wn * bearings, axis=-1)
     inl = (cosang > cos_thresh) & valid
     return inl, cosang
-
-
-from omniswarm_tpu.core.precision import highp
 
 
 @functools.partial(jax.jit, static_argnames=("num_hypotheses",))

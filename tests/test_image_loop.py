@@ -102,3 +102,18 @@ def test_no_loop_for_unseen_place(setup):
     kf_far = make_kf(setup, 0, 100, 10.0, pose_far, rng)
     res = det.on_keyframe(kf_far)
     assert res is None
+
+
+def test_room_world_geometry():
+    """RoomWorld: rays hit the nearest wall; all four walls texture."""
+    from omniswarm_tpu.sim.image_world import RoomWorld
+
+    world = RoomWorld(half=6.0, seed=11)
+    intr = CameraIntrinsics(fx=220, fy=220, cx=200, cy=104)
+    means = []
+    for yaw in (0.0, np.pi / 2, np.pi, -np.pi / 2):
+        img = world.render(np.array([1.0, 0.5, 1.2, yaw]), intr, 208, 400)
+        assert img.shape == (208, 400) and np.isfinite(img).all()
+        means.append(float(img.std()))
+    # every direction sees textured structure, not the bare background
+    assert min(means) > 0.05, means
