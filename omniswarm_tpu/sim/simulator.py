@@ -63,6 +63,7 @@ class SimParams:
     vio_yaw_drift_per_step: float = 0.002
     uwb_noise_std: float = 0.1
     uwb_bias: float = 0.0
+    uwb_scale: float = 1.0             # measured = bias + scale*true + noise
     # Loop generation (fake place recognition)
     loop_every: int = 5                # attempt loops every k frames
     loop_max_distance: float = 3.0     # proximity gate (faiss L2 emulation)
@@ -150,7 +151,8 @@ def generate(params: SimParams) -> SimData:
     true_d = np.linalg.norm(diff, axis=-1)
     noise = rng.normal(0, params.uwb_noise_std, size=true_d.shape)
     noise = 0.5 * (noise + np.swapaxes(noise, 1, 2))
-    ranges = np.maximum(true_d + noise + params.uwb_bias, 0.0)
+    ranges = np.maximum(
+        params.uwb_scale * true_d + noise + params.uwb_bias, 0.0)
     range_valid = np.ones((F, D, D), bool)
     np.einsum("fdd->fd", ranges)[:] = 0.0
     np.einsum("fdd->fd", range_valid)[:] = False

@@ -48,7 +48,8 @@ class LoopCandidate:
 
 class LoopDetector:
     def __init__(self, self_id: int, params: Optional[FrontendParams] = None,
-                 *, global_dim: int = 4096, local_dim: int = 64, seed: int = 0):
+                 *, global_dim: int = 4096, local_dim: int = 64, seed: int = 0,
+                 match_viz_dir: Optional[str] = None):
         self.self_id = self_id
         self.p = params or FrontendParams()
         self.db = placedb.make_placedb(self.p.max_db_size, global_dim)
@@ -57,6 +58,21 @@ class LoopDetector:
         self._key = jax.random.PRNGKey(seed)
         self.num_queries = 0
         self.num_loops = 0
+        # opt-in loop-match PNG dumps (loop_detector.cpp:695-785 DEBUG_IMAGE)
+        self.match_viz_dir = match_viz_dir
+        self._images: Dict[Tuple[int, int], np.ndarray] = {}
+
+    def register_image(self, drone_id: int, frame_id: int,
+                       image: np.ndarray) -> None:
+        """Keep a keyframe's image for match visualization (opt-in).
+
+        Only consulted when ``match_viz_dir`` is set; bounded by the place
+        database capacity."""
+        if self.match_viz_dir is None:
+            return
+        if len(self._images) >= self.p.max_db_size:
+            self._images.pop(next(iter(self._images)))
+        self._images[(int(drone_id), int(frame_id))] = np.asarray(image)
 
     # ------------------------------------------------------------------
     def _thresholds(self, drone_a: int, drone_b: int) -> Tuple[float, int]:
@@ -175,4 +191,28 @@ class LoopDetector:
             dpose=dpose_a_to_b.astype(np.float32),
             pos_std=float(np.sqrt(self.p.loop_cov_pos)),
             yaw_std=float(np.sqrt(self.p.loop_cov_ang)))
+        if self.match_viz_dir is not None:
+            self._dump_match_viz(kf, old, idx_b, valid,
+                                 np.asarray(res.inliers), n_inl, sim)
         return LoopCandidate(edge=edge, num_inliers=n_inl, similarity=sim)
+
+    def _dump_match_viz(self, kf: KeyframeData, old: KeyframeData,
+                        idx_b: np.ndarray, match_mask: np.ndarray,
+                        inliers: np.ndarray, n_inl: int, sim: float) -> None:
+        """Write the accepted loop's match PNG if both images were registered."""
+        import os
+
+        img_a = self._images.get((int(kf.drone_id), int(kf.frame_id)))
+        img_b = self._images.get((int(old.drone_id), int(old.frame_id)))
+        if img_a is None or img_b is None:
+            return
+        from omniswarm_tpu.eval.match_viz import save_match_image
+
+        name = (f"loop_d{kf.drone_id}f{kf.frame_id}"
+                f"_d{old.drone_id}f{old.frame_id}.png")
+        save_match_image(
+            img_a, np.asarray(kf.kp_xy), img_b, np.asarray(old.kp_xy),
+            idx_b, match_mask, inliers,
+            os.path.join(self.match_viz_dir, name),
+            title=(f"d{kf.drone_id}f{kf.frame_id} ← d{old.drone_id}"
+                   f"f{old.frame_id}  sim={sim:.2f}  inl={n_inl}"))

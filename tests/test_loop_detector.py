@@ -117,3 +117,31 @@ def test_intra_drone_loop_odometry_gate(world):
     cand = det.on_keyframe(world.make_keyframe(0, 10, pose1, t=10.0))
     assert cand is not None
     assert cand.edge.drone_a == 0 and cand.edge.drone_b == 0
+
+
+def test_match_viz_png_written(world, tmp_path):
+    """Accepted loops dump side-by-side match PNGs when opted in
+    (loop_detector.cpp:695-785 DEBUG_IMAGE parity)."""
+    det = LoopDetector(self_id=0, params=FrontendParams(
+        max_db_size=256, min_loop_matches=12, match_index_dist=5,
+        netvlad_thres=0.5, pnp_iterations=128),
+        global_dim=world.global_desc(np.zeros(4)).shape[0], seed=0,
+        match_viz_dir=str(tmp_path))
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, size=(60, 80)).astype(np.float32)
+    det.register_image(1, 0, img)
+    det.register_image(0, 0, img.T[:60, :60])
+    det.on_keyframe(world.make_keyframe(1, 0, np.array([1.0, 2.0, 1.0, 0.4]),
+                                        t=0.0))
+    cand = det.on_keyframe(
+        world.make_keyframe(0, 0, np.array([1.5, 1.6, 1.1, 0.15]), t=5.0))
+    assert cand is not None
+    pngs = list(tmp_path.glob("loop_*.png"))
+    assert len(pngs) == 1 and pngs[0].stat().st_size > 1000
+
+
+def test_match_viz_disabled_keeps_no_images(world):
+    det = LoopDetector(self_id=0, global_dim=world.global_desc(
+        np.zeros(4)).shape[0])
+    det.register_image(0, 0, np.zeros((4, 4)))
+    assert not det._images
