@@ -50,6 +50,32 @@ class KeyframeData:
     landmarks_3d: np.ndarray       # (K, 3) body-frame 3-D points
     local_desc: np.ndarray         # (K, C) unit local descriptors
     valid: np.ndarray              # (K,) bool
+    image: Optional[np.ndarray] = None  # (H, W) grayscale in [0,1], optional
+
+
+def encode_image(img: np.ndarray, quality: int = 50) -> bytes:
+    """JPEG-encode a grayscale [0,1] image for the wire.
+
+    Mirrors the reference's LoopCam::encode_image
+    (/root/reference/swarm_loop/src/loop_cam.cpp:56-71, IMWRITE_JPEG_QUALITY
+    from the jpg_quality param, default 50 at swarm_loop.cpp:225).
+    """
+    import cv2
+    u8 = np.clip(np.asarray(img, np.float32) * 255.0, 0, 255).astype(np.uint8)
+    ok, buf = cv2.imencode(
+        ".jpg", u8, [int(cv2.IMWRITE_JPEG_QUALITY), int(quality)])
+    if not ok:
+        raise RuntimeError("JPEG encode failed")
+    return bytes(buf.tobytes())
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Inverse of :func:`encode_image` — returns (H, W) float32 in [0,1]."""
+    import cv2
+    u8 = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_GRAYSCALE)
+    if u8 is None:
+        raise RuntimeError("JPEG decode failed")
+    return u8.astype(np.float32) / 255.0
 
 
 @dataclass
@@ -77,6 +103,27 @@ class LandmarkPacket:
 
     def nbytes(self) -> int:
         return 24 + self.desc_q.size
+
+
+@dataclass
+class WholeImgDescPacket:
+    """A keyframe descriptor shipped as ONE packet, optionally with the
+    JPEG-encoded image — the reference's ``send_whole_img_desc`` /
+    ``send_img`` modes (loop_net.cpp:103-120: when either flag is set the
+    full ImageDescriptor_t is published on SWARM_LOOP_IMG_DES instead of the
+    header+landmark split)."""
+
+    kf: KeyframeData
+    jpeg: Optional[bytes] = None
+
+    def nbytes(self) -> int:
+        kf = self.kf
+        n = (32 + kf.global_desc.size * 2 + kf.kp_xy.size * 4
+             + kf.landmarks_3d.size * 4 + kf.local_desc.size
+             + kf.valid.size)
+        if self.jpeg is not None:
+            n += len(self.jpeg)
+        return n
 
 
 @dataclass
@@ -149,18 +196,25 @@ class LoopNet:
     def __init__(self, bus, drone_id: int, *, recv_period: float = 1.0,
                  on_keyframe: Optional[Callable] = None,
                  on_loop: Optional[Callable] = None,
-                 on_inliers: Optional[Callable] = None):
+                 on_inliers: Optional[Callable] = None,
+                 send_img: bool = False,
+                 send_whole_img_desc: bool = False,
+                 jpg_quality: int = 50):
         self.bus = bus
         self.drone_id = drone_id
         self.recv_period = recv_period
         self.on_keyframe = on_keyframe
         self.on_loop = on_loop
         self.on_inliers = on_inliers
+        self.send_img = send_img
+        self.send_whole_img_desc = send_whole_img_desc
+        self.jpg_quality = jpg_quality
         self.sent: set = set()
         self.blacklist: set = set()
         self._partial: Dict[Tuple[int, int], Dict] = {}
         self.recv_packets: Dict[int, int] = {}   # per-drone packet counts
         self.recv_expected: Dict[int, int] = {}
+        bus.subscribe(drone_id, CHANNEL_IMG_DES, self._on_whole_img_desc)
         bus.subscribe(drone_id, CHANNEL_VIOKF_HEADER, self._on_header)
         bus.subscribe(drone_id, CHANNEL_VIOKF_LANDMARKS, self._on_landmark)
         bus.subscribe(drone_id, CHANNEL_LOOP_CONN, self._on_loop_edge)
@@ -172,6 +226,15 @@ class LoopNet:
         if key in self.sent:
             return                     # sender-side dedup (loop_net sent_message)
         self.sent.add(key)
+        if self.send_img or self.send_whole_img_desc:
+            # Whole-descriptor mode (loop_net.cpp:103-120): one packet on
+            # SWARM_LOOP_IMG_DES, with the JPEG image iff send_img.
+            jpeg = None
+            if self.send_img and kf.image is not None:
+                jpeg = encode_image(kf.image, self.jpg_quality)
+            self.bus.publish(self.drone_id, CHANNEL_IMG_DES,
+                             WholeImgDescPacket(kf=kf, jpeg=jpeg), t)
+            return
         k_valid = np.flatnonzero(np.asarray(kf.valid))
         header = HeaderPacket(
             drone_id=kf.drone_id, frame_id=kf.frame_id, t=kf.t,
@@ -199,6 +262,23 @@ class LoopNet:
         self.bus.publish(self.drone_id, CHANNEL_LOOP_INLIERS, pkt, t)
 
     # ---------------- receive ----------------
+    def _on_whole_img_desc(self, pkt: WholeImgDescPacket) -> None:
+        if pkt.kf.drone_id in self.blacklist:
+            return
+        self.recv_packets[pkt.kf.drone_id] = \
+            self.recv_packets.get(pkt.kf.drone_id, 0) + 1
+        self.recv_expected[pkt.kf.drone_id] = \
+            self.recv_expected.get(pkt.kf.drone_id, 0) + 1
+        kf = pkt.kf
+        if pkt.jpeg is not None:
+            kf = KeyframeData(
+                drone_id=kf.drone_id, frame_id=kf.frame_id, t=kf.t,
+                pose=kf.pose, global_desc=kf.global_desc, kp_xy=kf.kp_xy,
+                landmarks_3d=kf.landmarks_3d, local_desc=kf.local_desc,
+                valid=kf.valid, image=decode_image(pkt.jpeg))
+        if self.on_keyframe is not None:
+            self.on_keyframe(kf)
+
     def _on_header(self, pkt: HeaderPacket) -> None:
         if pkt.drone_id in self.blacklist:
             return

@@ -125,9 +125,10 @@ class LoopCam:
         pts_cam = np.asarray(pts_cam)
         err = np.asarray(err)
         depth = pts_cam[:, 2]
-        ok = (mask & (err < self.p.triangulate_max_err)
+        ok = (mask & np.isfinite(pts_cam).all(axis=1)
+              & (err < self.p.triangulate_max_err)
               & (depth > 0.3) & (depth < 30.0))
-        pts_body = pts_cam @ CAM_TO_BODY.T
+        pts_body = np.nan_to_num(pts_cam) @ CAM_TO_BODY.T
 
         return KeyframeData(
             drone_id=drone_id, frame_id=frame_id, t=t,

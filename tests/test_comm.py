@@ -109,3 +109,49 @@ def test_blacklist():
     bus.step(0.0)
     net2.scan_recv_packets(1.0)
     assert not received
+
+
+def test_whole_img_desc_mode():
+    """send_whole_img_desc: one packet, no header/landmark split
+    (loop_net.cpp:103-120)."""
+    bus = LossyBus()
+    received = []
+    net1 = LoopNet(bus, 1, send_whole_img_desc=True)
+    LoopNet(bus, 2, on_keyframe=received.append)
+    kf = make_kf(drone=1, frame=7)
+    net1.broadcast_keyframe(kf, t=0.0)
+    assert bus.bytes_sent.get(CHANNEL_VIOKF_LANDMARKS, 0) == 0
+    bus.step(0.0)
+    # Delivered immediately — no reassembly scan needed.
+    assert len(received) == 1
+    out = received[0]
+    assert out.frame_id == 7
+    np.testing.assert_allclose(out.local_desc, kf.local_desc)
+    np.testing.assert_allclose(out.landmarks_3d, kf.landmarks_3d)
+
+
+def test_send_img_jpeg_roundtrip():
+    """send_img attaches a JPEG-encoded image (loop_cam.cpp:56-71)."""
+    from omniswarm_tpu.swarm.comm import decode_image, encode_image
+
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 1, size=(48, 64)).astype(np.float32)
+    # smooth it so JPEG survives at q50
+    img = (img + np.roll(img, 1, 0) + np.roll(img, 1, 1)) / 3.0
+
+    data = encode_image(img, quality=90)
+    back = decode_image(data)
+    assert back.shape == img.shape
+    assert np.abs(back - img).mean() < 0.08
+
+    bus = LossyBus()
+    received = []
+    net1 = LoopNet(bus, 1, send_img=True, jpg_quality=90)
+    LoopNet(bus, 2, on_keyframe=received.append)
+    kf = make_kf(drone=1, frame=2)
+    kf.image = img
+    net1.broadcast_keyframe(kf, t=0.0)
+    bus.step(0.0)
+    assert len(received) == 1
+    assert received[0].image is not None
+    assert received[0].image.shape == img.shape
