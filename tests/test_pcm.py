@@ -109,3 +109,22 @@ def test_pcm_decentralized_partition(noisy_sim):
                        redundant=False, external_inliers=full.pair_inliers)
     np.testing.assert_array_equal(res0x.good_mask[~involved],
                                   full.good_mask[~involved])
+
+
+def test_pcm_debug_forensics(noisy_sim, tmp_path):
+    """debugging_pcm equivalent: records + heatmaps + JSON."""
+    from omniswarm_tpu.eval.pcm_debug import write_pcm_debug
+
+    data = noisy_sim
+    loops = loopset_from_measurements(data.loops)
+    res = pcm_filter(loops, data.vio, pcm_thres=2.0)
+    out = write_pcm_debug(str(tmp_path), loops, res, gt=data.gt,
+                          pcm_thres=2.0)
+    assert out["n_loops"] == len(data.loops)
+    assert 0 < out["n_accepted"] <= out["n_loops"]
+    # with outliers in the fixture, rejected loops should have larger
+    # true errors than accepted ones
+    assert out["rejected_pos_err_mean"] > out["accepted_pos_err_mean"]
+    assert (tmp_path / "pcm_debug.json").exists()
+    import glob
+    assert glob.glob(str(tmp_path / "pcm_pair_*.png"))

@@ -151,7 +151,7 @@ def profile_smw_internals():
         def body(i, carry):
             Ad_, acc = carry
             tA = vfactor(Ad_, Boff)
-            return Ad_ + 1e-12 * tA.sum(), acc + tA[0, 0, 0, 0]
+            return Ad_ + 1e-12 * tA.sum(), acc + tA[0, 0, 0]
         return jax.lax.fori_loop(0, REPS, body, (Ad, jnp.zeros(())))
 
 
@@ -197,5 +197,10 @@ def profile_smw_internals():
 
 
 if __name__ == "__main__":
-    main()
-    profile_smw_internals()
+    import sys as _sys
+
+    if "--internals-only" in _sys.argv:
+        profile_smw_internals()
+    else:
+        main()
+        profile_smw_internals()
