@@ -60,7 +60,6 @@ class SolverParams:
     distance_measurement_cov: float = 0.02
     detection_sphere_std: float = 0.1
     detection_inv_dep_std: float = 0.5
-    detection_dep_std: float = 0.5
 
     # Measurement gating (node.cpp:483-506)
     loop_outlier_distance_threshold: float = 2.0

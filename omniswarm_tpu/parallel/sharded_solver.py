@@ -51,6 +51,7 @@ def graph_in_specs(axis: str = AXIS) -> FactorGraph:
         pose_valid=r,
         pose_fixed=r,
         yaw_fixed=r,
+        ant_pos=r,
     )
 
 

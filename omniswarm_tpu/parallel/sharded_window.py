@@ -57,6 +57,7 @@ def _graph_specs(graph: DenseGraph, axis: str) -> DenseGraph:
         det_dir=s, det_tb=s, det_invdep=s, det_valid=s, det_has_depth=s,
         loops=jax.tree.map(lambda _: r, graph.loops),
         pose_valid=s, pose_fixed=s, yaw_fixed=s,
+        ant_pos=None if graph.ant_pos is None else r,
     )
 
 
@@ -164,6 +165,7 @@ def _assemble_sharded(g: DenseGraph, poses_loc, *, axis: str,
         pose_valid=jnp.concatenate([g.pose_valid, halo_pvalid[None]], 0),
         pose_fixed=jnp.concatenate([g.pose_fixed, halo_pfixed[None]], 0),
         yaw_fixed=jnp.concatenate([g.yaw_fixed, halo_yfixed[None]], 0),
+        ant_pos=g.ant_pos,
     )
     poses_ext = jnp.concatenate([poses_loc, halo_pose[None]], 0)
 

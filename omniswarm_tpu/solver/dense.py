@@ -54,6 +54,10 @@ class DenseGraph(NamedTuple):
     pose_valid: jnp.ndarray       # (F, D)
     pose_fixed: jnp.ndarray       # (F, D)
     yaw_fixed: jnp.ndarray        # (F, D)
+    # Optional per-drone UWB antenna offsets (D, 3), body frame; None == all
+    # zero (keeps the antisymmetric fast assembly). anntena_pos in
+    # swarm_nodes5.yaml, swarm_localization_node.cpp:300-328.
+    ant_pos: jnp.ndarray = None
 
 
 def empty_dense_graph(F: int, D: int, max_loops: int = 256,
@@ -100,6 +104,43 @@ def _range_terms(graph: DenseGraph, poses, huber_delta):
     cost = 0.5 * jnp.sum(jnp.where(graph.range_valid,
                                    fx.huber_rho(r * r, huber_delta), 0.0))
     return r, u * si, w, cost
+
+
+def _range_terms_ant(graph: DenseGraph, poses, huber_delta):
+    """Range residual/Jacobian grids with per-drone antenna offsets.
+
+    Ranged point: t + R(yaw) @ ant (swarm_localization_node.cpp:300-328) —
+    ranges couple into yaw. Returns (r, ja4, jb4, w, cost) with full
+    4-component Jacobian rows (the antisymmetric 3-vector shortcut of
+    _range_terms no longer applies because ka != kb).
+    """
+    dtype = poses.dtype
+    ya = poses[..., 3]                                   # (F, D)
+    ant = jnp.asarray(graph.ant_pos, dtype)              # (D, 3)
+    rot = geo.yaw_rotate(ya, ant[None, :, :])            # (F, D, 3)
+    teff = poses[..., :3] + rot
+    diff = teff[:, :, None, :] - teff[:, None, :, :]     # (F, Da, Db, 3)
+    dist = jnp.sqrt(jnp.sum(diff * diff, -1) + 1e-12)
+    si = jnp.asarray(graph.range_sqrt_inf)
+    r = (dist - graph.range_dist) * si
+    u = diff / dist[..., None]
+    # d(R(ya) ant_a)/dya = [-s*ax - c*ay, c*ax - s*ay, 0]
+    c = jnp.cos(ya)
+    s = jnp.sin(ya)
+    dR = jnp.stack([-s * ant[None, :, 0] - c * ant[None, :, 1],
+                    c * ant[None, :, 0] - s * ant[None, :, 1],
+                    jnp.zeros_like(ya)], -1)             # (F, D, 3)
+    ka = jnp.sum(u * dR[:, :, None, :], -1)              # (F, Da, Db)
+    kb = jnp.sum(u * dR[:, None, :, :], -1)
+    si_b = si[..., None] if jnp.ndim(si) else si
+    ja4 = jnp.concatenate([u, ka[..., None]], -1) * si_b
+    jb4 = -jnp.concatenate([u, kb[..., None]], -1) * si_b
+    w = jnp.where(jnp.abs(r) <= huber_delta, 1.0,
+                  huber_delta / jnp.maximum(jnp.abs(r), 1e-12))
+    w = w * graph.range_valid.astype(dtype)
+    cost = 0.5 * jnp.sum(jnp.where(graph.range_valid,
+                                   fx.huber_rho(r * r, huber_delta), 0.0))
+    return r, ja4, jb4, w, cost
 
 
 def _odom_terms(graph: DenseGraph, poses, F):
@@ -265,19 +306,34 @@ def assemble_dense(graph: DenseGraph, poses: jnp.ndarray, *,
     diag = jnp.zeros((F, D, 4, 4), dtype)               # per-pose diagonal
     gvec = jnp.zeros((F, D, 4), dtype)
 
-    # ranges: Ja = si*u on pose a translation; antisymmetric pair structure
-    r_r, su, w_r, cost = _range_terms(graph, poses, huber_delta)
-    # block B = su su^T (3x3, pad yaw) ; weight w
-    B3 = su[..., :, None] * su[..., None, :]            # (F, D, D, 3, 3)
-    wB3 = B3 * w_r[..., None, None]
-    # valid grid is a<b only; accumulate both orientations explicitly
-    # (uu^T identical for both).
-    wB3_sym = wB3 + jnp.swapaxes(wB3, 1, 2)
-    diag = diag.at[..., :3, :3].add(jnp.sum(wB3_sym, axis=2))
-    intra = intra.at[..., :3, :3].add(-wB3_sym)
-    # gradient: ga += w si*u * r ; gb -= ...
-    gr = (su * (w_r * r_r)[..., None])                  # (F, D, D, 3)
-    gvec = gvec.at[..., :3].add(jnp.sum(gr - jnp.swapaxes(gr, 1, 2), axis=2))
+    if graph.ant_pos is None:
+        # ranges: Ja = si*u on pose a translation; antisymmetric pair
+        # structure. block B = su su^T (3x3, pad yaw) ; weight w
+        r_r, su, w_r, cost = _range_terms(graph, poses, huber_delta)
+        B3 = su[..., :, None] * su[..., None, :]        # (F, D, D, 3, 3)
+        wB3 = B3 * w_r[..., None, None]
+        # valid grid is a<b only; accumulate both orientations explicitly
+        # (uu^T identical for both).
+        wB3_sym = wB3 + jnp.swapaxes(wB3, 1, 2)
+        diag = diag.at[..., :3, :3].add(jnp.sum(wB3_sym, axis=2))
+        intra = intra.at[..., :3, :3].add(-wB3_sym)
+        # gradient: ga += w si*u * r ; gb -= ...
+        gr = (su * (w_r * r_r)[..., None])              # (F, D, D, 3)
+        gvec = gvec.at[..., :3].add(
+            jnp.sum(gr - jnp.swapaxes(gr, 1, 2), axis=2))
+    else:
+        # antenna offsets break the antisymmetry (ka != kb): general 4-wide
+        # accumulation, same shape conventions as the detection family.
+        r_r, ja4, jb4, w_r, cost = _range_terms_ant(graph, poses, huber_delta)
+        wja4 = ja4 * w_r[..., None]
+        wjb4 = jb4 * w_r[..., None]
+        diag += jnp.sum(jnp.einsum("fabi,fabj->fabij", wja4, ja4), axis=2)
+        diag += jnp.sum(jnp.einsum("fabi,fabj->fabij", wjb4, jb4), axis=1)
+        Bab_r = jnp.einsum("fabi,fabj->fabij", wja4, jb4)
+        intra += Bab_r
+        intra += jnp.swapaxes(jnp.swapaxes(Bab_r, -1, -2), 1, 2)
+        gvec += jnp.sum(wja4 * r_r[..., None], axis=2)
+        gvec += jnp.sum(wjb4 * r_r[..., None], axis=1)
 
     # detections
     r_d, Ja_d, Jb_d, w_d, cost_d = _det_terms(
@@ -397,7 +453,8 @@ def dense_graph_from_sim(sim_data, *, distance_cov: float = 0.02,
                          self_id: int = 0,
                          enable_detections: bool = True,
                          loops_override=None,
-                         max_loops: Optional[int] = None) -> DenseGraph:
+                         max_loops: Optional[int] = None,
+                         ant_pos=None) -> DenseGraph:
     """Build a DenseGraph directly from sim.SimData (no scatter lists)."""
     import numpy as np
 
@@ -472,6 +529,8 @@ def dense_graph_from_sim(sim_data, *, distance_cov: float = 0.02,
     pose_fixed[0, self_id] = True
     g = g._replace(pose_valid=jnp.asarray(pose_valid),
                    pose_fixed=jnp.asarray(pose_fixed))
+    if ant_pos is not None:
+        g = g._replace(ant_pos=jnp.asarray(ant_pos, jnp.float32))
     return g
 
 
@@ -579,13 +638,26 @@ def assemble_blocks(graph: DenseGraph, poses: jnp.ndarray, *,
 
     # --- UWB ranges: pair grid (i, j, Da, Db, F) ------------------------
     diff = t[:, :, None, :] - t[:, None, :, :]           # (3, Da, Db, F)
-    dist = jnp.sqrt(jnp.sum(diff * diff, 0) + 1e-12)     # (Da, Db, F)
     si = jnp.asarray(graph.range_sqrt_inf, dtype)
     if si.ndim:
         si = si.transpose(1, 2, 0)
     rvalid = graph.range_valid.transpose(1, 2, 0)
+    if graph.ant_pos is None:
+        diffr = diff
+    else:
+        # range between antenna phase centers t + R(yaw) ant
+        # (anntena_pos, swarm_localization_node.cpp:300-328)
+        ant = jnp.asarray(graph.ant_pos, dtype)          # (D, 3)
+        ca_ = jnp.cos(ya)                                # (D, F)
+        sa_ = jnp.sin(ya)
+        rot = jnp.stack([ca_ * ant[:, 0, None] - sa_ * ant[:, 1, None],
+                         sa_ * ant[:, 0, None] + ca_ * ant[:, 1, None],
+                         jnp.broadcast_to(ant[:, 2, None], ya.shape)], 0)
+        teff = t + rot                                   # (3, D, F)
+        diffr = teff[:, :, None, :] - teff[:, None, :, :]
+    dist = jnp.sqrt(jnp.sum(diffr * diffr, 0) + 1e-12)   # (Da, Db, F)
     r_r = (dist - graph.range_dist.transpose(1, 2, 0)) * si
-    su = diff / dist[None] * si
+    u_r = diffr / dist[None]
     w_r = jnp.where(jnp.abs(r_r) <= delta, 1.0,
                     delta / jnp.maximum(jnp.abs(r_r), 1e-12))
     w_r = w_r * rvalid.astype(dtype)
@@ -596,12 +668,31 @@ def assemble_blocks(graph: DenseGraph, poses: jnp.ndarray, *,
     diag = jnp.zeros((4, 4, D, F), dtype)
     g = jnp.zeros((4, D, F), dtype)
 
-    wB = su[:, None] * su[None, :] * w_r[None, None]     # (3, 3, Da, Db, F)
-    wB_sym = wB + wB.transpose(0, 1, 3, 2, 4)
-    Hp = Hp.at[:3, :3].add(-wB_sym)
-    diag = diag.at[:3, :3].add(jnp.sum(wB_sym, axis=3))
-    gr = su * (w_r * r_r)[None]
-    g = g.at[:3].add(jnp.sum(gr - gr.transpose(0, 2, 1, 3), axis=2))
+    if graph.ant_pos is None:
+        su = u_r * si
+        wB = su[:, None] * su[None, :] * w_r[None, None]  # (3, 3, Da, Db, F)
+        wB_sym = wB + wB.transpose(0, 1, 3, 2, 4)
+        Hp = Hp.at[:3, :3].add(-wB_sym)
+        diag = diag.at[:3, :3].add(jnp.sum(wB_sym, axis=3))
+        gr = su * (w_r * r_r)[None]
+        g = g.at[:3].add(jnp.sum(gr - gr.transpose(0, 2, 1, 3), axis=2))
+    else:
+        # ka != kb breaks the antisymmetric shortcut: general 4-row form
+        dRr = jnp.stack([-sa_ * ant[:, 0, None] - ca_ * ant[:, 1, None],
+                         ca_ * ant[:, 0, None] - sa_ * ant[:, 1, None],
+                         jnp.zeros_like(ya)], 0)         # (3, D, F)
+        ka = jnp.sum(u_r * dRr[:, :, None, :], 0)        # (Da, Db, F)
+        kb = jnp.sum(u_r * dRr[:, None, :, :], 0)
+        ja_r = jnp.concatenate([u_r, ka[None]], 0) * si  # (4, Da, Db, F)
+        jb_r = -jnp.concatenate([u_r, kb[None]], 0) * si
+        wja_r = ja_r * w_r[None]
+        wjb_r = jb_r * w_r[None]
+        diag += jnp.sum(wja_r[:, None] * ja_r[None, :], axis=3)
+        diag += jnp.sum(wjb_r[:, None] * jb_r[None, :], axis=2)
+        cross_r = wja_r[:, None] * jb_r[None, :]         # (ia, jb, Da, Db, F)
+        Hp += cross_r + cross_r.transpose(1, 0, 3, 2, 4)
+        g += jnp.sum(wja_r * r_r[None], axis=2)
+        g += jnp.sum(wjb_r * r_r[None], axis=1)
 
     # --- detections: bearing + inverse depth ----------------------------
     ddir = graph.det_dir.transpose(3, 1, 2, 0)           # (3, Da, Db, F)
@@ -1129,4 +1220,5 @@ def dense_from_factor_graph(fg) -> Optional[DenseGraph]:
         loops=fg.loops,
         pose_valid=fg.pose_valid, pose_fixed=fg.pose_fixed,
         yaw_fixed=fg.yaw_fixed,
+        ant_pos=fg.ant_pos,
     )

@@ -44,6 +44,28 @@ def range_residual(
     return ((dist_est - distance) * sqrt_inf)[None]
 
 
+def range_residual_antenna(
+    pose_a: jnp.ndarray,
+    pose_b: jnp.ndarray,
+    distance: jnp.ndarray,
+    sqrt_inf: jnp.ndarray,
+    ant_a: jnp.ndarray,
+    ant_b: jnp.ndarray,
+) -> jnp.ndarray:
+    """Range residual between body-frame UWB antenna points, shape (1,).
+
+    The reference loads per-drone ``anntena_pos`` from swarm_nodes5.yaml
+    (swarm_localization_node.cpp:300-328) and ranges between antenna
+    phase centers, not body origins: the measured point is
+    t + R(yaw) @ ant. Couples range measurements into yaw.
+    """
+    pa = pose_a[:3] + geo.yaw_rotate(pose_a[3], ant_a)
+    pb = pose_b[:3] + geo.yaw_rotate(pose_b[3], ant_b)
+    diff = pa - pb
+    dist_est = jnp.sqrt(jnp.sum(diff * diff) + 1e-12)
+    return ((dist_est - distance) * sqrt_inf)[None]
+
+
 def relpose_residual(
     pose_a: jnp.ndarray,
     pose_b: jnp.ndarray,
@@ -112,6 +134,8 @@ def _with_jac(fn):
 
 
 range_eval = jax.vmap(_with_jac(range_residual), in_axes=(0, 0, 0, 0))
+range_eval_antenna = jax.vmap(_with_jac(range_residual_antenna),
+                              in_axes=(0,) * 6)
 relpose_eval = jax.vmap(_with_jac(relpose_residual), in_axes=(0, 0, 0, 0))
 
 

@@ -61,7 +61,12 @@ def _family_terms(graph: FactorGraph, poses: jnp.ndarray, huber_delta: float,
     r = graph.ranges
     pa = _gather_poses(poses, r.frame, r.drone_a)
     pb = _gather_poses(poses, r.frame, r.drone_b)
-    ev = fx.range_eval(pa, pb, r.dist, r.sqrt_inf)
+    if graph.ant_pos is not None:
+        ev = fx.range_eval_antenna(pa, pb, r.dist, r.sqrt_inf,
+                                   graph.ant_pos[r.drone_a],
+                                   graph.ant_pos[r.drone_b])
+    else:
+        ev = fx.range_eval(pa, pb, r.dist, r.sqrt_inf)
     w = fx.huber_weight(ev.residual, huber_delta)
     valid = r.valid
     cost += 0.5 * jnp.sum(

@@ -84,6 +84,10 @@ class FactorGraph(NamedTuple):
     pose_valid: jnp.ndarray   # (F, D) bool — pose exists in the window
     pose_fixed: jnp.ndarray   # (F, D) bool — gauge-fixed (first self pose)
     yaw_fixed: jnp.ndarray    # (F, D) bool — yaw weakly observable → frozen
+    # Optional per-drone UWB antenna offsets (D, 3) in body frame; None ==
+    # all-zero (fast path). Reference: anntena_pos in swarm_nodes5.yaml,
+    # loaded at swarm_localization_node.cpp:300-328.
+    ant_pos: jnp.ndarray = None
 
     @property
     def num_frames(self) -> int:
@@ -164,6 +168,13 @@ class GraphBuilder:
         self.pose_valid = np.zeros((max_frames, max_drones), bool)
         self.pose_fixed = np.zeros((max_frames, max_drones), bool)
         self.yaw_fixed = np.zeros((max_frames, max_drones), bool)
+        self.ant_pos = None
+
+    def set_antenna(self, drone: int, offset) -> None:
+        """Per-drone UWB antenna offset in body frame (anntena_pos)."""
+        if self.ant_pos is None:
+            self.ant_pos = np.zeros((self.D, 3), np.float32)
+        self.ant_pos[drone] = np.asarray(offset, np.float32)
 
     def set_pose_valid(self, frame: int, drone: int, fixed: bool = False):
         self.pose_valid[frame, drone] = True
@@ -259,6 +270,8 @@ class GraphBuilder:
             pose_valid=jnp.asarray(self.pose_valid),
             pose_fixed=jnp.asarray(self.pose_fixed),
             yaw_fixed=jnp.asarray(self.yaw_fixed),
+            ant_pos=None if self.ant_pos is None
+            else jnp.asarray(self.ant_pos),
         )
 
 

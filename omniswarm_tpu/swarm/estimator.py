@@ -110,6 +110,9 @@ class SwarmEstimator:
         self.external_inliers: Dict[Tuple[int, int], set] = {}
         self._rng = np.random.default_rng(rng_seed)
         self._last_kf_t: Optional[float] = None
+        # measured per-LM-iteration wall time (ms) driving the
+        # max_solver_time → iteration-budget mapping
+        self._iter_ms_ema: Optional[float] = None
 
     # ------------------------------------------------------------------
     # Ingestion
@@ -117,16 +120,26 @@ class SwarmEstimator:
     def on_vio(self, t: float, drone: int, pose4: np.ndarray) -> None:
         self.ego.setdefault(drone, []).append((t, np.asarray(pose4, float)))
 
-    def _is_keyframe(self, t: float, vio_self: np.ndarray) -> bool:
+    def _is_keyframe(self, t: float, vio: Dict[int, np.ndarray]) -> bool:
         if not self.window:
             return True
         last = self.window[-1]
-        if self.self_id not in last.vio:
+        if self.self_id not in last.vio or self.self_id not in vio:
             return True
-        move = float(np.linalg.norm(
-            vio_self[:3] - last.vio[self.self_id][:3]))
-        dt = t - last.t
         p = self.params
+        if p.kf_use_all_nodes:
+            # any drone moving far enough admits a keyframe
+            # (judge_is_key_frame kf_use_all_nodes branch, solver.cpp:134-148)
+            for d, pose in vio.items():
+                if d not in last.vio:
+                    continue
+                if float(np.linalg.norm(
+                        pose[:3] - last.vio[d][:3])) > p.kf_movement:
+                    return True
+            return False
+        move = float(np.linalg.norm(
+            vio[self.self_id][:3] - last.vio[self.self_id][:3]))
+        dt = t - last.t
         if move > p.kf_movement:
             return True
         if move > 0.5 * p.kf_movement and dt > p.kf_time_with_half_movement:
@@ -143,7 +156,7 @@ class SwarmEstimator:
         new_drone = any(
             d not in (self.window[-1].vio if self.window else {})
             for d in vio) if self.window else True
-        if not (new_drone or self._is_keyframe(t, vio[self.self_id])):
+        if not (new_drone or self._is_keyframe(t, vio)):
             return False
         kf = KeyframeRecord(
             t=t, vio={d: np.asarray(p, float) for d, p in vio.items()},
@@ -166,8 +179,15 @@ class SwarmEstimator:
         p = self.params
         while len(self.window) > p.max_frame_number:
             if p.enable_random_keyframe_deletion and len(self.window) > 2:
-                # random mid-window deletion keeps old loop anchors alive
-                i = int(self._rng.integers(0, len(self.window) - 2))
+                # Random mid-window deletion keeps old loop anchors alive
+                # (process_frame_clear, solver.cpp:186-202). The newest
+                # dense_frame_number frames stay dense — only older frames
+                # are thinned (dense_keyframe_num, node.cpp:466; the
+                # reference stores the knob at solver.cpp:77 — we give it
+                # its documented recent-frames-kept-dense semantics).
+                protect = max(2, min(p.dense_frame_number,
+                                     len(self.window) - 1))
+                i = int(self._rng.integers(0, len(self.window) - protect))
             else:
                 i = 0
             del self.window[i]
@@ -175,6 +195,15 @@ class SwarmEstimator:
                 self.estimate = np.delete(self.estimate, i, axis=0)
 
     def on_loop(self, loop: LoopRecord) -> None:
+        # intake distance gate: a loop claiming a huge relative position is
+        # a front-end failure (add_new_loop_connection, solver.cpp:557-568)
+        if (float(np.linalg.norm(np.asarray(loop.dpose)[:3]))
+                > self.params.loop_outlier_distance_threshold):
+            return
+        if self.params.debug_loop_initial_only and self.finish_init:
+            # ablation: stop ingesting loops after initialization
+            # (debug_loop_initial_only, solver.cpp:569-575)
+            return
         self.loops.append(loop)
 
     def on_detection(self, det: DetRecord) -> None:
@@ -279,6 +308,12 @@ class SwarmEstimator:
         )
         init = np.zeros((Fb, D, 4), np.float32)
 
+        # per-drone UWB antenna offsets (anntena_pos, node.cpp:300-328)
+        for d in ids:
+            nc = self.node_configs.get(d)
+            if nc is not None and any(abs(x) > 1e-9 for x in nc.antenna_pos):
+                builder.set_antenna(idmap[d], nc.antenna_pos)
+
         # pose validity + init values from VIO (warm start handled later)
         first_self_frame = None
         for fi, kf in enumerate(self.window):
@@ -359,6 +394,19 @@ class SwarmEstimator:
                     continue
                 if det.drone_a not in idmap or det.drone_b not in idmap:
                     continue
+                # anchor-drift gate (det_dpos_thres, solver.cpp:1527):
+                # distance traveled between detection time and the anchor
+                # keyframes, approximated by the VIO displacement
+                pa_t = self._ego_pose_at(det.drone_a, det.t)
+                pb_t = self._ego_pose_at(det.drone_b, det.t)
+                pa_kf = self.window[fa].vio.get(det.drone_a)
+                pb_kf = self.window[fb].vio.get(det.drone_b)
+                if (pa_t is not None and pb_t is not None
+                        and pa_kf is not None and pb_kf is not None):
+                    drift = (np.linalg.norm(pa_t[:3] - pa_kf[:3])
+                             + np.linalg.norm(pb_t[:3] - pb_kf[:3]))
+                    if drift > p.det_dpos_thres:
+                        continue
                 tb = np.asarray(geo.tangent_base_from_unit(
                     jnp.asarray(det.direction, jnp.float32)))
                 builder.add_detection(
@@ -451,6 +499,12 @@ class SwarmEstimator:
             d_b = delta_pose_np(pb_t, pb_kf)        # capture_b -> kf_b
             dpose = pose_mul_np(pose_mul_np(d_a, lp.dpose), d_b)
             drift = (np.linalg.norm(d_a[:3]) + np.linalg.norm(d_b[:3]))
+            # re-anchor drift gate: if the trajectory distance between the
+            # measurement time and its anchor keyframes is too large the
+            # composed edge is drift-dominated — drop it
+            # (loop_from_src_loop_connection, solver.cpp:1505-1535)
+            if drift > p.det_dpos_thres:
+                continue
             ps = float(np.sqrt(lp.pos_std**2
                                + p.vo_cov_pos_per_meter * drift))
             ys = float(np.sqrt(lp.yaw_std**2
@@ -552,7 +606,18 @@ class SwarmEstimator:
         )
 
         dense_graph = dense_from_factor_graph(graph)
-        solve_kw = dict(max_iterations=p.max_iterations,
+        # max_solver_time wall-clock budget → LM iteration budget (Ceres
+        # max_solver_time_in_seconds, solver.cpp:1695-1719): per-iteration
+        # cost is measured from previous solves; the budget is quantized to
+        # multiples of 25 so the jitted while_loop bound stays within a few
+        # compile buckets.
+        max_iters = p.max_iterations
+        if self._iter_ms_ema is not None and p.max_solver_time > 0:
+            budget = int(p.max_solver_time * 1e3
+                         / max(self._iter_ms_ema, 1e-3))
+            budget = max(25, (budget // 25) * 25)
+            max_iters = min(p.max_iterations, budget)
+        solve_kw = dict(max_iterations=max_iters,
                         det_sphere_std=p.detection_sphere_std,
                         det_inv_dep_std=p.detection_inv_dep_std)
 
@@ -601,9 +666,16 @@ class SwarmEstimator:
         # running-average prints, solver.cpp:954-957)
         from omniswarm_tpu.utils.telemetry import GLOBAL as _telemetry
 
-        _telemetry.record_ms(
-            "estimator.solve", (time.perf_counter() - t_solve0) * 1e3)
+        solve_ms = (time.perf_counter() - t_solve0) * 1e3
+        _telemetry.record_ms("estimator.solve", solve_ms)
         _telemetry.count("estimator.solve_count")
+        # update the measured per-iteration cost (skip the first solve per
+        # process — it pays XLA compilation)
+        iters = int(res.iterations)
+        if self.solve_count > 1 and iters > 0:
+            per_iter = solve_ms / iters
+            self._iter_ms_ema = per_iter if self._iter_ms_ema is None else \
+                0.7 * self._iter_ms_ema + 0.3 * per_iter
         if np.isfinite(cost) and cost < p.acpt_cost:
             self.finish_init = True
             # trim shape-bucket padding rows back to the real window
