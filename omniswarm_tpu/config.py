@@ -108,14 +108,37 @@ class FrontendParams:
     raw_desc_dim: int = 256
     global_desc_dim: int = 4096         # DEEP_DESC_SIZE (NetVLAD)
     netvlad_thres: float = 0.3          # inner-product loop candidate thres
+    # init-mode (inter-drone, pair not yet initialized) relaxed gates:
+    # query_thres=0.6 vs init_query_thres=0.3 and MIN_LOOP_NUM=15 vs
+    # INIT_MODE_MIN_LOOP_NUM=10 in the reference (swarm_loop.cpp:221-238)
+    netvlad_init_thres: float = 0.15
+    min_loop_matches_init: int = 10
+    search_nearest_num: int = 5         # SEARCH_NEAREST_NUM top-k candidates
     match_index_dist: int = 10          # recency guard MATCH_INDEX_DIST
     min_loop_matches: int = 15          # MIN_LOOP_NUM inliers
     inter_drone_init_frames: int = 2
     min_movement_keyframe: float = 0.3
     max_freq: float = 1.0
+    # non-keyframe acceptance (VIOnonKF_callback, swarm_loop.cpp:124-138):
+    # match-only frames after this long without a keyframe
+    nonkeyframe_waitsec: float = 5.0
+    init_nonkeyframe_waitsec: float = 1.0
+    # homography-RANSAC match pre-filter (loop_detector.cpp:539-624,
+    # cv::findHomography(..., CV_RANSAC, 3, mask))
+    homography_prefilter: bool = True
+    homography_thresh_px: float = 3.0
+    # covariance-scaled intra-drone odometry-consistency gate
+    # (check_loop_odometry_consistency, loop_detector.cpp:295-315;
+    # defaults swarm_loop.cpp:246-248)
+    odometry_consistency_threshold: float = 2.0
+    pos_covariance_per_meter: float = 0.01
+    yaw_covariance_per_meter: float = 0.003
     triangulate_max_err: float = 0.05
     pnp_iterations: int = 256
-    pnp_reproj_err: float = 0.03        # normalized-plane RANSAC threshold
+    # normalized-plane RANSAC inlier threshold (radians). 0.015 ≈ 3.3 px at
+    # fx=220: a looser gate (0.03) measurably merges the near-planar PnP
+    # ambiguity basins and admits ~0.25 m biased poses on the wall world.
+    pnp_reproj_err: float = 0.015
     loop_cov_pos: float = 0.02
     loop_cov_ang: float = 0.01
     max_db_size: int = 4096             # place-recognition database capacity

@@ -65,6 +65,27 @@ def query(db: PlaceDB, desc: jnp.ndarray, query_drone: jnp.ndarray,
     return best.astype(jnp.int32), sim[best]
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def query_topk(db: PlaceDB, desc: jnp.ndarray, query_drone: jnp.ndarray,
+               query_frame: jnp.ndarray, *, k: int = 5,
+               match_index_dist: jnp.ndarray = 10):
+    """Top-k database hits, best first (SEARCH_NEAREST_NUM candidates).
+
+    The reference searches SEARCH_NEAREST_NUM + guard nearest neighbors and
+    walks them in similarity order (query_from_database,
+    loop_detector.cpp:203-242); invalid/recent entries carry -inf.
+    """
+    sim = db.desc @ desc                                     # (N,)
+    recent = (db.drone_id == query_drone) & (
+        jnp.abs(db.frame_id - query_frame) < match_index_dist)
+    sim = jnp.where(db.valid & ~recent, sim, -jnp.inf)
+    top_sim, top_idx = jax.lax.top_k(sim, k)
+    return top_idx.astype(jnp.int32), top_sim
+
+
 @jax.jit
 def query_batch(db: PlaceDB, desc: jnp.ndarray, query_drone: jnp.ndarray,
                 query_frame: jnp.ndarray, *,

@@ -83,8 +83,7 @@ def build_graph_from_sim(
 
     if enable_detections:
         for det in sim.detections:
-            direction = jnp.asarray(det.direction, jnp.float32)
-            tb = np.asarray(geo.tangent_base_from_unit(direction))
+            tb = geo.tangent_base_from_unit_np(det.direction)
             b.add_detection(det.frame, det.drone_a, det.frame, det.drone_b,
                             det.direction, tb, det.inv_dep)
 

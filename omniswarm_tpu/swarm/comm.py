@@ -51,6 +51,9 @@ class KeyframeData:
     local_desc: np.ndarray         # (K, C) unit local descriptors
     valid: np.ndarray              # (K,) bool
     image: Optional[np.ndarray] = None  # (H, W) grayscale in [0,1], optional
+    # match-only frame: receiver must not add it to its database
+    # (prevent_adding_db, swarm_loop.cpp:155-158, loop_detector.cpp:89-94)
+    prevent_adding_db: bool = False
 
 
 def encode_image(img: np.ndarray, quality: int = 50) -> bytes:
@@ -86,6 +89,7 @@ class HeaderPacket:
     pose: np.ndarray
     global_desc_q: np.ndarray      # float16 on the wire
     num_landmarks: int
+    prevent_adding_db: bool = False
 
     def nbytes(self) -> int:
         return 32 + self.global_desc_q.size * 2
@@ -135,9 +139,14 @@ class LoopEdgePacket:
     dpose: np.ndarray
     pos_std: float
     yaw_std: float
+    # optional full 6-DoF relative pose (7,) [x y z qw qx qy qz]: the
+    # reference's LoopEdge is 6-DoF and the back-end composes full-attitude
+    # VIO when re-anchoring before its 4-DoF flatten
+    # (swarm_localization_solver.cpp:1464-1553)
+    dpose6: np.ndarray = None
 
     def nbytes(self) -> int:
-        return 56
+        return 56 + (28 if self.dpose6 is not None else 0)
 
 
 @dataclass
@@ -240,7 +249,8 @@ class LoopNet:
             drone_id=kf.drone_id, frame_id=kf.frame_id, t=kf.t,
             pose=np.asarray(kf.pose, np.float32),
             global_desc_q=np.asarray(kf.global_desc, np.float16),
-            num_landmarks=len(k_valid))
+            num_landmarks=len(k_valid),
+            prevent_adding_db=kf.prevent_adding_db)
         self.bus.publish(self.drone_id, CHANNEL_VIOKF_HEADER, header, t)
         for i in k_valid:
             d = np.asarray(kf.local_desc[i], np.float32)
@@ -275,7 +285,8 @@ class LoopNet:
                 drone_id=kf.drone_id, frame_id=kf.frame_id, t=kf.t,
                 pose=kf.pose, global_desc=kf.global_desc, kp_xy=kf.kp_xy,
                 landmarks_3d=kf.landmarks_3d, local_desc=kf.local_desc,
-                valid=kf.valid, image=decode_image(pkt.jpeg))
+                valid=kf.valid, image=decode_image(pkt.jpeg),
+                prevent_adding_db=kf.prevent_adding_db)
         if self.on_keyframe is not None:
             self.on_keyframe(kf)
 
@@ -358,7 +369,8 @@ class LoopNet:
         return KeyframeData(
             drone_id=hdr.drone_id, frame_id=hdr.frame_id, t=hdr.t,
             pose=hdr.pose, global_desc=hdr.global_desc_q.astype(np.float32),
-            kp_xy=xy, landmarks_3d=p3d, local_desc=desc, valid=valid)
+            kp_xy=xy, landmarks_3d=p3d, local_desc=desc, valid=valid,
+            prevent_adding_db=hdr.prevent_adding_db)
 
     def receive_rate(self, drone_id: int) -> float:
         exp = self.recv_expected.get(drone_id, 0)

@@ -55,6 +55,10 @@ class LoopRecord:
     dpose: np.ndarray
     pos_std: float
     yaw_std: float
+    # optional full 6-DoF measurement (7,) [x y z qw qx qy qz]; when both
+    # endpoint drones have 6-DoF VIO histories the re-anchoring composes
+    # full attitude before flattening (solver.cpp:1464-1553)
+    dpose6: np.ndarray = None
 
 
 def loop_key(lp: "LoopRecord") -> Tuple[int, int, int, int]:
@@ -110,6 +114,13 @@ class SwarmEstimator:
         self.external_inliers: Dict[Tuple[int, int], set] = {}
         self._rng = np.random.default_rng(rng_seed)
         self._last_kf_t: Optional[float] = None
+        # lookup caches for the vectorized ingest path
+        self._window_gen = 0
+        self._kf_idx_cache = None
+        self._ego_idx_cache: Dict[int, tuple] = {}
+        # optional 6-DoF VIO history per drone: list[(t, (7,) pose6)]
+        self.ego6: Dict[int, List[Tuple[float, np.ndarray]]] = {}
+        self._ego6_idx_cache: Dict[int, tuple] = {}
         # measured per-LM-iteration wall time (ms) driving the
         # max_solver_time → iteration-budget mapping
         self._iter_ms_ema: Optional[float] = None
@@ -117,8 +128,14 @@ class SwarmEstimator:
     # ------------------------------------------------------------------
     # Ingestion
     # ------------------------------------------------------------------
-    def on_vio(self, t: float, drone: int, pose4: np.ndarray) -> None:
+    def on_vio(self, t: float, drone: int, pose4: np.ndarray,
+               pose6: Optional[np.ndarray] = None) -> None:
+        """pose6: optional (7,) [x y z qw qx qy qz] full-attitude VIO —
+        enables 6-DoF loop re-anchoring (solver.cpp:1464-1553)."""
         self.ego.setdefault(drone, []).append((t, np.asarray(pose4, float)))
+        if pose6 is not None:
+            self.ego6.setdefault(drone, []).append(
+                (t, np.asarray(pose6, float)))
 
     def _is_keyframe(self, t: float, vio: Dict[int, np.ndarray]) -> bool:
         if not self.window:
@@ -149,10 +166,15 @@ class SwarmEstimator:
 
     def on_swarm_frame(self, t: float,
                        vio: Dict[int, np.ndarray],
-                       ranges: Dict[Tuple[int, int], float]) -> bool:
-        """Ingest one swarm frame; returns True if admitted as keyframe."""
+                       ranges: Dict[Tuple[int, int], float],
+                       vio6: Optional[Dict[int, np.ndarray]] = None) -> bool:
+        """Ingest one swarm frame; returns True if admitted as keyframe.
+
+        ``vio6``: optional per-drone (7,) full-attitude VIO poses for
+        6-DoF loop re-anchoring."""
         for d, pose in vio.items():
-            self.on_vio(t, d, pose)
+            self.on_vio(t, d, pose,
+                        None if vio6 is None else vio6.get(d))
         new_drone = any(
             d not in (self.window[-1].vio if self.window else {})
             for d in vio) if self.window else True
@@ -163,6 +185,7 @@ class SwarmEstimator:
             ranges={k: self._calibrate_range(k, float(v))
                     for k, v in ranges.items()})
         self.window.append(kf)
+        self._window_gen += 1
         self._evict()
         return True
 
@@ -191,6 +214,7 @@ class SwarmEstimator:
             else:
                 i = 0
             del self.window[i]
+            self._window_gen += 1
             if self.estimate is not None:
                 self.estimate = np.delete(self.estimate, i, axis=0)
 
@@ -218,22 +242,72 @@ class SwarmEstimator:
             ids |= set(kf.vio)
         return sorted(ids)
 
+    def _kf_time_index(self):
+        """Per-drone (times, frame-indices) arrays for vectorized
+        nearest-keyframe lookups — rebuilt only when the window mutates.
+
+        The naive per-query python scan is O(F) each; at a 1000-kf window
+        with thousands of loop/detection anchors it dominated the whole
+        build (measured ~1 s of a 1.7 s _build)."""
+        gen = (len(self.window), self._window_gen)
+        if self._kf_idx_cache is not None and self._kf_idx_cache[0] == gen:
+            return self._kf_idx_cache[1]
+        per: Dict[int, Tuple[list, list]] = {}
+        for fi, kf in enumerate(self.window):
+            for d in kf.vio:
+                e = per.setdefault(d, ([], []))
+                e[0].append(kf.t)
+                e[1].append(fi)
+        idx = {d: (np.asarray(ts), np.asarray(fis, np.int64))
+               for d, (ts, fis) in per.items()}
+        self._kf_idx_cache = (gen, idx)
+        return idx
+
     def _nearest_kf(self, t: float, drone: int) -> Optional[int]:
-        best, best_dt = None, np.inf
-        for i, kf in enumerate(self.window):
-            if drone in kf.vio and abs(kf.t - t) < best_dt:
-                best, best_dt = i, abs(kf.t - t)
-        if best is None or best_dt > 1.5:
+        e = self._kf_time_index().get(drone)
+        if e is None or len(e[0]) == 0:
             return None
-        return best
+        i = int(np.argmin(np.abs(e[0] - t)))
+        if abs(float(e[0][i]) - t) > 1.5:
+            return None
+        return int(e[1][i])
+
+    def _ego_index(self):
+        """Per-drone (times, poses) arrays for vectorized VIO lookups."""
+        out = {}
+        for d, hist in self.ego.items():
+            cached = self._ego_idx_cache.get(d)
+            if cached is not None and cached[0] == len(hist):
+                out[d] = cached[1]
+                continue
+            ts = np.asarray([h[0] for h in hist])
+            ps = np.asarray([h[1] for h in hist])
+            self._ego_idx_cache[d] = (len(hist), (ts, ps))
+            out[d] = (ts, ps)
+        return out
 
     def _ego_pose_at(self, drone: int, t: float) -> Optional[np.ndarray]:
-        hist = self.ego.get(drone)
+        e = self._ego_index().get(drone)
+        if e is None or len(e[0]) == 0:
+            return None
+        i = int(np.argmin(np.abs(e[0] - t)))
+        return e[1][i]
+
+    def _ego6_pose_at(self, drone: int, t: float) -> Optional[np.ndarray]:
+        hist = self.ego6.get(drone)
         if not hist:
             return None
-        ts = np.asarray([h[0] for h in hist])
+        cached = self._ego6_idx_cache.get(drone)
+        if cached is None or cached[0] != len(hist):
+            ts = np.asarray([h[0] for h in hist])
+            ps = np.asarray([h[1] for h in hist])
+            cached = (len(hist), (ts, ps))
+            self._ego6_idx_cache[drone] = cached
+        ts, ps = cached[1]
         i = int(np.argmin(np.abs(ts - t)))
-        return hist[i][1]
+        if abs(float(ts[i]) - t) > 0.5:
+            return None
+        return ps[i]
 
     def _estimate_observability(self):
         """Which drones' positions/yaws are observable in this window.
@@ -387,7 +461,12 @@ class SwarmEstimator:
         # detections → anchored at nearest kf, bearing factors
         if p.enable_detection:
             from omniswarm_tpu.core import geometry as geo
-            for det in self.dets:
+            tb_all = None
+            if self.dets:
+                tb_all = geo.tangent_base_from_unit_np(
+                    np.stack([np.asarray(d.direction, np.float32)
+                              for d in self.dets]))
+            for di_, det in enumerate(self.dets):
                 fa = self._nearest_kf(det.t, det.drone_a)
                 fb = self._nearest_kf(det.t, det.drone_b)
                 if fa is None or fb is None:
@@ -407,8 +486,7 @@ class SwarmEstimator:
                              + np.linalg.norm(pb_t[:3] - pb_kf[:3]))
                     if drift > p.det_dpos_thres:
                         continue
-                tb = np.asarray(geo.tangent_base_from_unit(
-                    jnp.asarray(det.direction, jnp.float32)))
+                tb = tb_all[di_]
                 builder.add_detection(
                     fa, idmap[det.drone_a], fb, idmap[det.drone_b],
                     det.direction, tb, det.inv_dep,
@@ -497,7 +575,31 @@ class SwarmEstimator:
                 continue
             d_a = delta_pose_np(pa_kf, pa_t)        # kf_a -> capture_a
             d_b = delta_pose_np(pb_t, pb_kf)        # capture_b -> kf_b
-            dpose = pose_mul_np(pose_mul_np(d_a, lp.dpose), d_b)
+            if lp.dpose6 is not None:
+                # 6-DoF path: compose full-attitude VIO deltas around the
+                # 6-DoF measurement, flatten to 4-DoF at the END — the
+                # 4-DoF-only composition mis-rotates translations when the
+                # platform is rolled/pitched at capture time
+                # (solver.cpp:1464-1553; factors.hpp:226)
+                pa_kf6 = self._ego6_pose_at(lp.drone_a, self.window[fa].t)
+                pb_kf6 = self._ego6_pose_at(lp.drone_b, self.window[fb].t)
+                pa_t6 = self._ego6_pose_at(lp.drone_a, lp.t_a)
+                pb_t6 = self._ego6_pose_at(lp.drone_b, lp.t_b)
+                if all(x is not None
+                       for x in (pa_kf6, pb_kf6, pa_t6, pb_t6)):
+                    from omniswarm_tpu.core.geometry import (
+                        se3_delta_np, se3_mul_np, se3_to_pose4_np)
+                    d_a6 = se3_delta_np(pa_kf6, pa_t6)
+                    d_b6 = se3_delta_np(pb_t6, pb_kf6)
+                    new6 = se3_mul_np(
+                        se3_mul_np(d_a6, np.asarray(lp.dpose6, float)),
+                        d_b6)
+                    dpose = se3_to_pose4_np(new6)
+                    dpose[3] = wrap(dpose[3])
+                else:
+                    dpose = pose_mul_np(pose_mul_np(d_a, lp.dpose), d_b)
+            else:
+                dpose = pose_mul_np(pose_mul_np(d_a, lp.dpose), d_b)
             drift = (np.linalg.norm(d_a[:3]) + np.linalg.norm(d_b[:3]))
             # re-anchor drift gate: if the trajectory distance between the
             # measurement time and its anchor keyframes is too large the
@@ -585,6 +687,7 @@ class SwarmEstimator:
         if p.enable_data_association:
             self._associate_anonymous_detections()
         graph, init, idmap = self._build()
+        t_host = time.perf_counter() - t_solve0   # host-side ingest/build
         F, D = init.shape[:2]
 
         # Warm start from the previous estimate where shapes still align.
@@ -668,6 +771,10 @@ class SwarmEstimator:
 
         solve_ms = (time.perf_counter() - t_solve0) * 1e3
         _telemetry.record_ms("estimator.solve", solve_ms)
+        # host-vs-device split: how much of the solve wall is python-side
+        # window->graph construction vs the jitted LM program
+        _telemetry.record_ms("estimator.solve.host_build", t_host * 1e3)
+        _telemetry.record_ms("estimator.solve.device", solve_ms - t_host * 1e3)
         _telemetry.count("estimator.solve_count")
         # update the measured per-iteration cost (skip the first solve per
         # process — it pays XLA compilation)

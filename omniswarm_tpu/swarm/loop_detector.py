@@ -4,20 +4,29 @@ The TPU-native re-design of the reference's LoopDetector
 (/root/reference/swarm_loop/src/loop_detector.cpp): on every keyframe
 (local or received from a peer over LoopNet),
 
-1. query the place-recognition database by global-descriptor inner product
-   with per-mode thresholds and the recency guard
-   (query_fisheyeframe_from_database :176-242; faiss → ops/placedb matmul);
-2. mutual-NN match local descriptors against the hit keyframe
-   (compute_correspond_features :431-537 → ops/matching matmul);
-3. solve the 4-DoF relative pose by vmapped PnP RANSAC on (3-D new ↔
-   bearing old) correspondences (compute_relative_pose :355-413 →
-   ops/ransac linear hypotheses);
-4. verify: inlier count, relative-pose magnitude/yaw gates, and intra-drone
-   odometry consistency (pnp_result_verify :317-335,
-   check_loop_odometry_consistency :295-315);
-5. init-mode: relaxed thresholds until ``inter_drone_init_frames`` loops
-   have been found for a drone pair (:66-72);
-6. add the keyframe to the database.
+1. query the place-recognition databases — **split local/remote** like the
+   reference's two faiss IndexFlatIP indices (loop_detector.h:27-29,
+   REMOTE_MAGIN_NUMBER :22): self keyframes live in the local DB, peer
+   keyframes in the remote DB. Query routing follows query_from_database
+   (:176-201): remote keyframes query the local DB; self keyframes query
+   the local DB (with the MATCH_INDEX_DIST recency guard) and the remote
+   DB; self non-keyframes query only the remote DB. Top
+   ``search_nearest_num`` candidates are walked best-first (:203-242).
+2. per-mode thresholds: init mode (an inter-drone pair with fewer than
+   ``inter_drone_init_frames`` accepted loops) relaxes the NetVLAD
+   similarity gate (INIT_MODE_PRODUCT_THRES) and the inlier minimum
+   (INIT_MODE_MIN_LOOP_NUM) — swarm_loop.cpp:221-238, loop_detector.cpp:66-72.
+3. mutual-NN match local descriptors (compute_correspond_features :431-537
+   → ops/matching matmul), then **homography-RANSAC pre-filter** the
+   matches in pixel space (cv::findHomography(..., CV_RANSAC, 3, mask)
+   :539-624 → ops/homography batched DLT hypotheses);
+4. solve the 4-DoF relative pose by vmapped PnP RANSAC (ops/ransac);
+5. verify: inlier count, relative-pose magnitude/yaw gates
+   (pnp_result_verify :317-335), and the **covariance-scaled** intra-drone
+   odometry-consistency gate (check_loop_odometry_consistency :295-315):
+   Mahalanobis distance of (loop ⊖ odometry) under drift + loop covariance.
+6. add the keyframe to its database (unless ``prevent_adding_db`` — the
+   min-movement non-keyframe path, swarm_loop.cpp:155-158).
 
 Keyframe content arrives as swarm.comm.KeyframeData; outputs are
 LoopEdgePacket-shaped records ready for broadcast + the back-end.
@@ -33,10 +42,53 @@ import numpy as np
 
 from omniswarm_tpu.config import FrontendParams
 from omniswarm_tpu.ops import placedb
+from omniswarm_tpu.ops.homography import homography_ransac
 from omniswarm_tpu.ops.matching import mutual_match
 from omniswarm_tpu.ops.ransac import pnp_ransac_4dof
 from omniswarm_tpu.sim.simulator import delta_pose_np, wrap
 from omniswarm_tpu.swarm.comm import KeyframeData, LoopEdgePacket
+
+
+import functools
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("pnp_hyp", "use_hom"))
+def _verify_one_kernel(desc_a, valid_a, kp_a, p3d_a,
+                       desc_b, valid_b, kp_b, p3d_b, key,
+                       *, pnp_hyp: int, use_hom: bool,
+                       pnp_err, hom_err):
+    """Geometric verification of ONE candidate keyframe as one XLA program.
+
+    Fuses mutual-NN matching (MXU matmul), the optional homography-RANSAC
+    pixel pre-filter (loop_detector.cpp:539-624) and 4-DoF PnP RANSAC into
+    a single dispatch — the eager per-op walk cost dozens of round trips
+    per candidate over the remote-TPU tunnel. Kept un-vmapped on purpose:
+    the candidate walk early-exits on the first verified loop, and a
+    C-way vmapped variant multiplied XLA compile time ~Cx.
+    """
+    m = mutual_match(desc_a, desc_b, valid_a, valid_b, min_similarity=0.5)
+    k1, k2 = jax.random.split(key)
+    if use_hom:
+        pbm = kp_b[m.idx_b]
+        h = homography_ransac(kp_a, pbm, m.mask, k1, err_thresh=hom_err)
+        # apply the filter only when a single homography explains most
+        # matches: distorted (fisheye) pixels are NOT homography-related
+        # even for planar scenes — a low-consensus H would mask good
+        # matches (measured: 72% consensus pinhole vs 29% MEI fisheye)
+        keep = (h.num_inliers >= 8) & \
+            (h.num_inliers >= 0.5 * jnp.sum(m.mask))
+        mask = jnp.where(keep, m.mask & h.inliers, m.mask)
+    else:
+        mask = m.mask
+    old_p3d = p3d_b[m.idx_b]
+    norms = jnp.linalg.norm(old_p3d, axis=1)
+    bearings = old_p3d / jnp.maximum(norms[:, None], 1e-6)
+    valid = mask & (norms > 1e-3) & (jnp.linalg.norm(p3d_a, axis=1) > 1e-3)
+    res = pnp_ransac_4dof(p3d_a, bearings, valid, k2,
+                          err_thresh=pnp_err, num_hypotheses=pnp_hyp)
+    return (m.idx_b, m.mask, mask, jnp.sum(m.mask), jnp.sum(valid),
+            res.dpose, res.num_inliers, res.inliers)
 
 
 @dataclass
@@ -52,8 +104,11 @@ class LoopDetector:
                  match_viz_dir: Optional[str] = None):
         self.self_id = self_id
         self.p = params or FrontendParams()
-        self.db = placedb.make_placedb(self.p.max_db_size, global_dim)
-        self.keyframes: Dict[int, KeyframeData] = {}    # db slot -> keyframe
+        # local vs remote descriptor databases (loop_detector.h:27-29)
+        self.local_db = placedb.make_placedb(self.p.max_db_size, global_dim)
+        self.remote_db = placedb.make_placedb(self.p.max_db_size, global_dim)
+        self.local_kfs: Dict[int, KeyframeData] = {}   # slot -> keyframe
+        self.remote_kfs: Dict[int, KeyframeData] = {}
         self.pair_loop_count: Dict[Tuple[int, int], int] = {}
         self._key = jax.random.PRNGKey(seed)
         self.num_queries = 0
@@ -62,12 +117,16 @@ class LoopDetector:
         self.match_viz_dir = match_viz_dir
         self._images: Dict[Tuple[int, int], np.ndarray] = {}
 
+    # back-compat alias: the combined keyframe map
+    @property
+    def keyframes(self) -> Dict[int, KeyframeData]:
+        merged = dict(self.remote_kfs)
+        merged.update(self.local_kfs)
+        return merged
+
     def register_image(self, drone_id: int, frame_id: int,
                        image: np.ndarray) -> None:
-        """Keep a keyframe's image for match visualization (opt-in).
-
-        Only consulted when ``match_viz_dir`` is set; bounded by the place
-        database capacity."""
+        """Keep a keyframe's image for match visualization (opt-in)."""
         if self.match_viz_dir is None:
             return
         if len(self._images) >= self.p.max_db_size:
@@ -75,32 +134,45 @@ class LoopDetector:
         self._images[(int(drone_id), int(frame_id))] = np.asarray(image)
 
     # ------------------------------------------------------------------
-    def _thresholds(self, drone_a: int, drone_b: int) -> Tuple[float, int]:
-        """(similarity threshold, min inliers) with init-mode relaxation."""
-        pair = (min(drone_a, drone_b), max(drone_a, drone_b))
-        inter = drone_a != drone_b
-        count = self.pair_loop_count.get(pair, 0)
-        if inter and count < self.p.inter_drone_init_frames:
-            # init mode: relaxed gates until the pair is initialized
-            return self.p.netvlad_thres * 0.8, max(
-                int(self.p.min_loop_matches * 0.7), 8)
+    def _init_mode(self, remote_drone: int) -> bool:
+        """Relaxed-gate mode until the pair with self has enough loops
+        (loop_detector.cpp:66-72)."""
+        if remote_drone == self.self_id:
+            return False
+        pair = (min(remote_drone, self.self_id),
+                max(remote_drone, self.self_id))
+        return self.pair_loop_count.get(pair, 0) \
+            < self.p.inter_drone_init_frames
+
+    def _thresholds(self, init_mode: bool) -> Tuple[float, int]:
+        if init_mode:
+            return self.p.netvlad_init_thres, self.p.min_loop_matches_init
         return self.p.netvlad_thres, self.p.min_loop_matches
 
     def on_keyframe(self, kf: KeyframeData,
-                    ego_pose_old: Optional[np.ndarray] = None
+                    ego_pose_old: Optional[np.ndarray] = None,
+                    prevent_adding_db: bool = False
                     ) -> Optional[LoopCandidate]:
         """Process one keyframe: query → verify → add to DB.
 
-        Returns a verified loop candidate or None. ``ego_pose_old`` supplies
-        the current drone's pose estimate for the odometry-consistency gate.
+        Returns a verified loop candidate or None. ``prevent_adding_db``
+        marks match-only non-keyframes (small movement, swarm_loop.cpp:158).
         """
-        result = self._query_and_verify(kf)
+        result = self._query_and_verify(kf, nonkeyframe=prevent_adding_db)
         # add AFTER query so a frame never matches itself
-        slot = int(self.db.cursor) % self.p.max_db_size
-        self.db = placedb.add(
-            self.db, jnp.asarray(kf.global_desc, jnp.float32),
-            jnp.asarray(kf.drone_id), jnp.asarray(kf.frame_id))
-        self.keyframes[slot] = kf
+        if not prevent_adding_db:
+            if kf.drone_id == self.self_id:
+                slot = int(self.local_db.cursor) % self.p.max_db_size
+                self.local_db = placedb.add(
+                    self.local_db, jnp.asarray(kf.global_desc, jnp.float32),
+                    jnp.asarray(kf.drone_id), jnp.asarray(kf.frame_id))
+                self.local_kfs[slot] = kf
+            else:
+                slot = int(self.remote_db.cursor) % self.p.max_db_size
+                self.remote_db = placedb.add(
+                    self.remote_db, jnp.asarray(kf.global_desc, jnp.float32),
+                    jnp.asarray(kf.drone_id), jnp.asarray(kf.frame_id))
+                self.remote_kfs[slot] = kf
         if result is not None:
             pair = (min(result.edge.drone_a, result.edge.drone_b),
                     max(result.edge.drone_a, result.edge.drone_b))
@@ -108,55 +180,107 @@ class LoopDetector:
             self.num_loops += 1
         return result
 
-    def _query_and_verify(self, kf: KeyframeData) -> Optional[LoopCandidate]:
+    # ------------------------------------------------------------------
+    def _candidates(self, kf: KeyframeData, nonkeyframe: bool):
+        """(keyframe, similarity) candidates best-first, per routing rules."""
+        k = self.p.search_nearest_num
+        out = []
+
+        def q(db, kfs, guard):
+            if int(db.cursor) == 0:
+                return
+            idx, sim = placedb.query_topk(
+                db, jnp.asarray(kf.global_desc, jnp.float32),
+                jnp.asarray(kf.drone_id), jnp.asarray(kf.frame_id),
+                k=k, match_index_dist=guard)
+            for i, s in zip(np.asarray(idx), np.asarray(sim)):
+                if np.isfinite(s) and int(i) in kfs:
+                    out.append((kfs[int(i)], float(s)))
+
+        if kf.drone_id != self.self_id:
+            # remote keyframe: match against OUR keyframes only
+            q(self.local_db, self.local_kfs, 1)
+        elif nonkeyframe:
+            # self non-keyframe: match against remote keyframes only
+            q(self.remote_db, self.remote_kfs, 1)
+        else:
+            # self keyframe: own history (recency-guarded) + remote
+            q(self.local_db, self.local_kfs, self.p.match_index_dist)
+            q(self.remote_db, self.remote_kfs, 1)
+        out.sort(key=lambda t: -t[1])
+        return out[:k]
+
+    def _query_and_verify(self, kf: KeyframeData,
+                          nonkeyframe: bool = False
+                          ) -> Optional[LoopCandidate]:
+        """Walk top-k candidates best-first; each candidate's geometric
+        verification is ONE fused jit dispatch (_verify_one_kernel), and
+        the walk stops at the first verified loop."""
         self.num_queries += 1
-        if int(self.db.cursor) == 0:
-            return None
-        idx, sim = placedb.query(
-            self.db, jnp.asarray(kf.global_desc, jnp.float32),
-            jnp.asarray(kf.drone_id), jnp.asarray(kf.frame_id),
-            match_index_dist=self.p.match_index_dist)
-        idx, sim = int(idx), float(sim)
-        if not np.isfinite(sim) or idx not in self.keyframes:
-            return None
-        old = self.keyframes[idx]
-        thres, min_inliers = self._thresholds(kf.drone_id, old.drone_id)
-        if sim < thres:
+        cands = self._candidates(kf, nonkeyframe)
+        floor = min(self.p.netvlad_thres, self.p.netvlad_init_thres)
+        cands = [(old, sim) for old, sim in cands if sim >= floor]
+        if not cands:
             return None
 
-        # local feature matching: new (a) descriptors vs old (b)
-        m = mutual_match(
-            jnp.asarray(kf.local_desc, jnp.float32),
-            jnp.asarray(old.local_desc, jnp.float32),
-            jnp.asarray(kf.valid), jnp.asarray(old.valid),
-            min_similarity=0.5)
-        mask = np.asarray(m.mask)
-        if mask.sum() < min_inliers:
-            return None
-        idx_b = np.asarray(m.idx_b)
+        # ONE fixed landmark capacity for query and candidates: every
+        # distinct shape compiles a fresh kernel, and remote keyframes
+        # reassembled from per-landmark packets arrive with ragged counts —
+        # over the remote-TPU tunnel each recompile costs minutes
+        Kb = max(int(old.local_desc.shape[0]) for old, _ in cands)
+        Kb = max(Kb, int(kf.local_desc.shape[0]), self.p.max_keypoints)
+        Kb = ((Kb + 63) // 64) * 64
+        Cdim = int(cands[0][0].local_desc.shape[1])
 
-        # PnP: new keyframe's 3-D landmarks (its body frame) vs old
-        # keyframe's bearing observations of the matched landmarks.
-        K = kf.landmarks_3d.shape[0]
-        pts = np.asarray(kf.landmarks_3d, np.float32)
-        old_p3d = np.asarray(old.landmarks_3d, np.float32)[idx_b % max(
-            old.landmarks_3d.shape[0], 1)]
-        norms = np.linalg.norm(old_p3d, axis=1, keepdims=True)
-        bearings = old_p3d / np.maximum(norms, 1e-6)
-        valid = mask & (norms[:, 0] > 1e-3) & (
-            np.linalg.norm(pts, axis=1) > 1e-3)
-        if valid.sum() < min_inliers:
-            return None
+        def pad(o):
+            k = o.local_desc.shape[0]
+            db = np.zeros((Kb, Cdim), np.float32)
+            db[:k] = o.local_desc
+            vb = np.zeros(Kb, bool)
+            vb[:k] = o.valid
+            kb = np.zeros((Kb, 2), np.float32)
+            kb[:k] = o.kp_xy
+            pb = np.zeros((Kb, 3), np.float32)
+            pb[:k] = o.landmarks_3d
+            return db, vb, kb, pb
 
-        self._key, sub = jax.random.split(self._key)
-        res = pnp_ransac_4dof(
-            jnp.asarray(pts), jnp.asarray(bearings), jnp.asarray(valid),
-            sub, err_thresh=self.p.pnp_reproj_err,
-            num_hypotheses=self.p.pnp_iterations)
-        n_inl = int(res.num_inliers)
-        dpose_new_in_old = np.asarray(res.dpose)   # new frame in old frame
+        qd, qv, qk, qp = pad(kf)
+        qd, qv, qk, qp = (jnp.asarray(x) for x in (qd, qv, qk, qp))
 
-        # verification gates (pnp_result_verify):
+        for old, sim in cands:
+            init_mode = self._init_mode(
+                old.drone_id if kf.drone_id == self.self_id else kf.drone_id)
+            thres, min_inliers = self._thresholds(init_mode)
+            if sim < thres:
+                continue
+            db, vb, kb, pb = pad(old)
+            self._key, sub = jax.random.split(self._key)
+            out = _verify_one_kernel(
+                qd, qv, qk, qp,
+                jnp.asarray(db), jnp.asarray(vb), jnp.asarray(kb),
+                jnp.asarray(pb), sub,
+                pnp_hyp=self.p.pnp_iterations,
+                use_hom=bool(self.p.homography_prefilter),
+                pnp_err=self.p.pnp_reproj_err,
+                hom_err=self.p.homography_thresh_px)
+            (idx_b, raw_mask, mask, n_match, n_valid,
+             dpose, n_inl, inliers) = (np.asarray(x) for x in out)
+            if int(n_match) < min_inliers or int(n_valid) < min_inliers:
+                continue
+            ka = len(kf.valid)           # un-pad per-landmark rows for viz
+            cand = self._accept_candidate(
+                kf, old, float(sim), min_inliers, idx_b[:ka], mask[:ka],
+                dpose, int(n_inl), inliers[:ka])
+            if cand is not None:
+                return cand
+        return None
+
+    def _accept_candidate(self, kf: KeyframeData, old: KeyframeData,
+                          sim: float, min_inliers: int, idx_b, mask,
+                          dpose_new_in_old, n_inl: int, inliers
+                          ) -> Optional[LoopCandidate]:
+        """Host-side acceptance gates on one verified candidate
+        (pnp_result_verify :317-335 + odometry consistency :295-315)."""
         if n_inl < min_inliers:
             return None
         dyaw = wrap(dpose_new_in_old[3])
@@ -177,13 +301,8 @@ class LoopDetector:
             dpose_new_in_old[2]])
         dpose_a_to_b = np.concatenate([t, [wrap(-dpose_new_in_old[3])]])
 
-        # intra-drone odometry-consistency gate
-        if kf.drone_id == old.drone_id:
-            odo = delta_pose_np(np.asarray(kf.pose), np.asarray(old.pose))
-            diff = odo - dpose_a_to_b
-            if (np.linalg.norm(diff[:3]) >
-                    max(1.0, 0.1 * np.linalg.norm(odo[:3]) * 5)):
-                return None
+        if not self._odometry_consistent(kf, old, dpose_a_to_b):
+            return None
 
         edge = LoopEdgePacket(
             drone_a=kf.drone_id, t_a=kf.t,
@@ -192,9 +311,32 @@ class LoopDetector:
             pos_std=float(np.sqrt(self.p.loop_cov_pos)),
             yaw_std=float(np.sqrt(self.p.loop_cov_ang)))
         if self.match_viz_dir is not None:
-            self._dump_match_viz(kf, old, idx_b, valid,
-                                 np.asarray(res.inliers), n_inl, sim)
+            self._dump_match_viz(kf, old, idx_b, mask, inliers, n_inl, sim)
         return LoopCandidate(edge=edge, num_inliers=n_inl, similarity=sim)
+
+    def _odometry_consistent(self, kf: KeyframeData, old: KeyframeData,
+                             dpose_a_to_b: np.ndarray) -> bool:
+        """Covariance-scaled intra-drone odometry-consistency gate.
+
+        check_loop_odometry_consistency (loop_detector.cpp:295-315):
+        squared Mahalanobis distance of (loop ⊖ VIO relative pose) under
+        accumulated drift covariance (pos/yaw_covariance_per_meter x
+        trajectory length) plus the loop's own covariance, gated at
+        odometry_consistency_threshold. Inter-drone loops skip the check.
+        """
+        if kf.drone_id != old.drone_id:
+            return True
+        p = self.p
+        odo = delta_pose_np(np.asarray(kf.pose), np.asarray(old.pose))
+        dp = odo - dpose_a_to_b
+        dp[3] = wrap(dp[3])
+        length = max(float(np.linalg.norm(odo[:3])), 0.1)
+        cov_pos = p.pos_covariance_per_meter * length + p.loop_cov_pos
+        cov_yaw = p.yaw_covariance_per_meter * length + p.loop_cov_ang
+        md = float(np.sum(dp[:3] ** 2) / cov_pos + dp[3] ** 2 / cov_yaw)
+        # normalize per DoF (our residual is 4-DoF; the reference thresholds
+        # a 6-DoF squared Mahalanobis at 2.0)
+        return md / 4.0 <= p.odometry_consistency_threshold
 
     def _dump_match_viz(self, kf: KeyframeData, old: KeyframeData,
                         idx_b: np.ndarray, match_mask: np.ndarray,

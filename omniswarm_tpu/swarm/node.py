@@ -43,20 +43,62 @@ class DroneNode:
                            on_inliers=self._on_inlier_set)
         self.loops_found = 0
         self.loops_received = 0
+        # front-end keyframe gating state (VIOKF_callback/VIOnonKF_callback,
+        # swarm_loop.cpp:124-170)
+        self._last_invoke = -np.inf
+        self._last_kf_time = -np.inf
+        self._last_kf_pos: Optional[np.ndarray] = None
+        self._received_image = False
 
     # ------------------------------------------------------------------
     def on_swarm_frame(self, t: float, vio: Dict[int, np.ndarray],
                        ranges: Dict[Tuple[int, int], float]) -> bool:
         return self.estimator.on_swarm_frame(t, vio, ranges)
 
-    def on_local_keyframe(self, kf: KeyframeData, t: float) -> None:
-        """A keyframe from this drone's own camera/frontend."""
-        cand = self.detector.on_keyframe(kf)
+    def on_local_keyframe(self, kf: KeyframeData, t: float,
+                          is_keyframe: bool = True) -> None:
+        """A frame from this drone's own camera/frontend.
+
+        ``is_keyframe=False`` is the VIO non-keyframe path
+        (VIOnonKF_callback, swarm_loop.cpp:124-138): promoted to a full
+        keyframe if no image was processed yet (after
+        init_nonkeyframe_waitsec) or no keyframe arrived for
+        nonkeyframe_waitsec — then match-only if movement is small.
+        """
+        p = self.detector.p
+        nonkeyframe = not is_keyframe
+        if nonkeyframe:
+            waited = t - self._last_kf_time
+            if not self._received_image \
+                    and waited > p.init_nonkeyframe_waitsec:
+                nonkeyframe = False
+            elif waited <= p.nonkeyframe_waitsec:
+                return
+        # rate gate (max_freq, VIOKF_callback swarm_loop.cpp:145-147)
+        if t - self._last_invoke < 1.0 / p.max_freq:
+            return
+        self._last_invoke = t
+        self._last_kf_time = t
+        pos = np.asarray(kf.pose, float)[:3]
+        dpos = np.inf if self._last_kf_pos is None else \
+            float(np.linalg.norm(pos - self._last_kf_pos))
+        prevent = nonkeyframe and dpos < p.min_movement_keyframe
+        if prevent and kf.prevent_adding_db is False:
+            kf = KeyframeData(**{**kf.__dict__, "prevent_adding_db": True})
+        self._received_image = True
+        self._last_kf_pos = pos
+        cand = self.detector.on_keyframe(kf, prevent_adding_db=prevent)
         self.net.broadcast_keyframe(kf, t)
         if cand is not None:
             self.loops_found += 1
             self._ingest_loop(cand.edge)
             self.net.broadcast_loop_edge(cand.edge, t)
+
+    def on_detection(self, det) -> None:
+        """Visual drone-to-drone detection (node_detected intake,
+        swarm_localization_node.cpp:146-154); ``det.drone_b`` may be an
+        anonymous ID (>= ANONYMOUS_ID_BASE) resolved later by DA-init."""
+        self.estimator.on_detection(det)
 
     def step(self, t: float) -> None:
         """Periodic comm scan (the reference's 100 Hz timer)."""
@@ -75,7 +117,8 @@ class DroneNode:
 
     # ------------------------------------------------------------------
     def _on_remote_keyframe(self, kf: KeyframeData) -> None:
-        cand = self.detector.on_keyframe(kf)
+        cand = self.detector.on_keyframe(
+            kf, prevent_adding_db=kf.prevent_adding_db)
         if cand is not None:
             self.loops_found += 1
             self._ingest_loop(cand.edge)
@@ -97,4 +140,6 @@ class DroneNode:
             t_a=edge.t_a, drone_a=edge.drone_a,
             t_b=edge.t_b, drone_b=edge.drone_b,
             dpose=np.asarray(edge.dpose, float),
-            pos_std=edge.pos_std, yaw_std=edge.yaw_std))
+            pos_std=edge.pos_std, yaw_std=edge.yaw_std,
+            dpose6=None if edge.dpose6 is None
+            else np.asarray(edge.dpose6, float)))
