@@ -128,14 +128,14 @@ def main():
         from omniswarm_tpu.parallel.swarm_batch import solve_fleet
 
         FLEET = 8
-        graphs = []
-        finits = []
-        for k in range(FLEET):
-            d = sim.generate(sim.SimParams(num_drones=5, num_frames=100,
+        sims = [sim.generate(sim.SimParams(num_drones=5, num_frames=100,
                                            seed=100 + k))
-            # fixed loop capacity so the fleet graphs stack
-            graphs.append(dense_graph_from_sim(d, max_loops=256))
-            finits.append(jnp.asarray(d.vio, jnp.float32))
+                for k in range(FLEET)]
+        # stacking needs one shared loop capacity; keep it tight — every
+        # spare slot adds 4 Woodbury columns to every lane's SMW sweep
+        cap = max(8, ((max(len(d.loops) for d in sims) + 15) // 16) * 16)
+        graphs = [dense_graph_from_sim(d, max_loops=cap) for d in sims]
+        finits = [jnp.asarray(d.vio, jnp.float32) for d in sims]
         rf = solve_fleet(graphs, finits, max_iterations=50,
                          function_tolerance=0.0)
         jax.block_until_ready(rf.poses)

@@ -23,6 +23,13 @@ def main():
     ap.add_argument("--resume", default=None,
                     help="checkpoint to continue from")
     ap.add_argument("--out", required=True)
+    ap.add_argument("--temperature", type=float, default=0.1)
+    ap.add_argument("--max-rot", type=float, default=0.25)
+    ap.add_argument("--noise", type=float, default=0.03)
+    ap.add_argument("--scale", type=float, nargs=2, default=(1.0, 1.0))
+    ap.add_argument("--cosine", action="store_true")
+    ap.add_argument("--hard-eval", action="store_true",
+                    help="evaluate on the hard 256-way jittered benchmark")
     args = ap.parse_args()
 
     from omniswarm_tpu.models.netvlad import (
@@ -38,14 +45,19 @@ def main():
     params, history = train_netvlad(
         steps=args.steps, places_per_batch=args.places, pool_size=args.pool,
         lr=args.lr, seed=args.seed, params=params,
-        log_every=max(args.steps // 20, 1))
+        log_every=max(args.steps // 20, 1), temperature=args.temperature,
+        max_rot=args.max_rot, noise=args.noise, scale=tuple(args.scale),
+        cosine=args.cosine)
     for it, loss in history:
-        print(f"step {it:5d} loss {loss:.4f}")
+        print(f"step {it:5d} loss {loss:.4f}", flush=True)
     m = retrieval_metrics(params)
-    print(f"eval: recall@1 {m['recall_at_1']:.3f} "
-          f"margin {m['mean_margin']:.3f} "
-          f"(pos {m['mean_pos_sim']:.3f} vs top-neg "
-          f"{m['mean_top_neg_sim']:.3f})")
+    print(f"eval(easy 64-way): recall@1 {m['recall_at_1']:.3f} "
+          f"margin {m['mean_margin']:.3f}", flush=True)
+    if args.hard_eval:
+        mh = retrieval_metrics(params, n_places=256, max_rot=0.5,
+                               noise=0.06, scale=(0.8, 1.25))
+        print(f"eval(hard 256-way): recall@1 {mh['recall_at_1']:.3f} "
+              f"margin {mh['mean_margin']:.3f}", flush=True)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     save_netvlad_npz(params, args.out)
     print(f"saved {args.out}")
