@@ -675,19 +675,38 @@ class SwarmEstimator:
         return grid
 
     def solve(self) -> Dict:
-        """Run one sliding-window solve; returns a status dict."""
-        t_solve0 = time.perf_counter()
+        """Run one sliding-window solve; returns a status dict.
+
+        Sequential wrapper over the pipeline-concurrency split:
+        ``prepare_solve`` (host graph build — mutates nothing, reads the
+        window; callers doing threaded solving hold their ingest lock),
+        ``execute_solve`` (the jitted device program — safe to run WITHOUT
+        the lock so ingestion/prediction continue during the solve, the
+        role of the reference's solver mutex + MultiThreadedSpinner,
+        swarm_localization_solver.hpp:55-56), ``finalize_solve`` (estimate/
+        telemetry update — lock again).
+        """
+        prep = self.prepare_solve()
+        if prep.get("refused"):
+            return prep["status"]
+        res = self.execute_solve(prep)
+        return self.finalize_solve(prep, res)
+
+    def prepare_solve(self) -> Dict:
+        """Host phase: observability gates, DA, graph build, init batch."""
+        t0 = time.perf_counter()
         p = self.params
         if len(self.window) < p.min_frame_number:
-            return {"solved": False, "reason": "window too small"}
+            return {"refused": True,
+                    "status": {"solved": False, "reason": "window too small"}}
         _, _, solvable = self._estimate_observability()
         if not solvable:
-            return {"solved": False, "reason": "unobservable: no loops and "
-                                               "insufficient self motion"}
+            return {"refused": True, "status": {
+                "solved": False, "reason": "unobservable: no loops and "
+                                           "insufficient self motion"}}
         if p.enable_data_association:
             self._associate_anonymous_detections()
         graph, init, idmap = self._build()
-        t_host = time.perf_counter() - t_solve0   # host-side ingest/build
         F, D = init.shape[:2]
 
         # Warm start from the previous estimate where shapes still align.
@@ -699,14 +718,7 @@ class SwarmEstimator:
             warm[:Fp, :Dp] = self.estimate[-Fp:, :Dp]
             init = warm
 
-        # Prefer the block-tridiagonal production solver when the window's
-        # factor structure fits its frame layout; fall back to the generic
-        # scatter path otherwise (e.g. cross-frame detections).
-        from omniswarm_tpu.solver.dense import (
-            dense_from_factor_graph,
-            lm_solve_bt,
-            lm_solve_bt_batched,
-        )
+        from omniswarm_tpu.solver.dense import dense_from_factor_graph
 
         dense_graph = dense_from_factor_graph(graph)
         # max_solver_time wall-clock budget → LM iteration budget (Ceres
@@ -724,6 +736,7 @@ class SwarmEstimator:
                         det_sphere_std=p.detection_sphere_std,
                         det_inv_dep_std=p.detection_inv_dep_std)
 
+        inits = None
         if not self.finish_init:
             # batched multi-trial random init (solve_with_multiple_init)
             B = p.init_random_trials + 1
@@ -741,6 +754,23 @@ class SwarmEstimator:
                 if self_col is not None:
                     jitter[:, self_col, :] = 0.0
                 inits[b] = init + jitter
+
+        return {"refused": False, "graph": graph, "dense_graph": dense_graph,
+                "init": init, "inits": inits, "idmap": idmap,
+                "solve_kw": solve_kw, "F": F, "D": D,
+                "num_window": len(self.window), "t0": t0,
+                "t_host": time.perf_counter() - t0,
+                "multi_init": not self.finish_init}
+
+    def execute_solve(self, prep: Dict):
+        """Device phase: run the jitted LM program. Lock-free by design —
+        it only reads the immutable arrays captured by prepare_solve."""
+        from omniswarm_tpu.solver.dense import lm_solve_bt, lm_solve_bt_batched
+
+        dense_graph = prep["dense_graph"]
+        solve_kw = prep["solve_kw"]
+        if prep["multi_init"]:
+            inits = prep["inits"]
             if dense_graph is not None:
                 batch = lm_solve_bt_batched(dense_graph, jnp.asarray(inits),
                                             **solve_kw)
@@ -751,16 +781,22 @@ class SwarmEstimator:
                                              if x.ndim else x, batch)
                 res = res._replace(iterations=batch.iterations)
             else:
-                res = lm_solve_multi_init(graph, jnp.asarray(inits),
+                res = lm_solve_multi_init(prep["graph"], jnp.asarray(inits),
                                           **solve_kw)
         else:
             if dense_graph is not None:
-                res = lm_solve_bt(dense_graph, jnp.asarray(init), **solve_kw)
+                res = lm_solve_bt(dense_graph, jnp.asarray(prep["init"]),
+                                  **solve_kw)
             else:
-                res = lm_solve(graph, jnp.asarray(init), **solve_kw)
-
+                res = lm_solve(prep["graph"], jnp.asarray(prep["init"]),
+                               **solve_kw)
         jax.block_until_ready(res.poses)
-        self._last_dense_graph = dense_graph
+        return res
+
+    def finalize_solve(self, prep: Dict, res) -> Dict:
+        """Post phase: estimate/telemetry/init-state update."""
+        p = self.params
+        self._last_dense_graph = prep["dense_graph"]
         self._last_padded_poses = np.asarray(res.poses)
         cost = float(res.cost)
         self.last_cost = cost
@@ -769,12 +805,14 @@ class SwarmEstimator:
         # running-average prints, solver.cpp:954-957)
         from omniswarm_tpu.utils.telemetry import GLOBAL as _telemetry
 
-        solve_ms = (time.perf_counter() - t_solve0) * 1e3
+        solve_ms = (time.perf_counter() - prep["t0"]) * 1e3
         _telemetry.record_ms("estimator.solve", solve_ms)
         # host-vs-device split: how much of the solve wall is python-side
         # window->graph construction vs the jitted LM program
-        _telemetry.record_ms("estimator.solve.host_build", t_host * 1e3)
-        _telemetry.record_ms("estimator.solve.device", solve_ms - t_host * 1e3)
+        _telemetry.record_ms("estimator.solve.host_build",
+                             prep["t_host"] * 1e3)
+        _telemetry.record_ms("estimator.solve.device",
+                             solve_ms - prep["t_host"] * 1e3)
         _telemetry.count("estimator.solve_count")
         # update the measured per-iteration cost (skip the first solve per
         # process — it pays XLA compilation)
@@ -785,14 +823,17 @@ class SwarmEstimator:
                 0.7 * self._iter_ms_ema + 0.3 * per_iter
         if np.isfinite(cost) and cost < p.acpt_cost:
             self.finish_init = True
-            # trim shape-bucket padding rows back to the real window
-            self.estimate = np.asarray(res.poses)[:len(self.window)]
+            # trim shape-bucket padding rows back to the real window (the
+            # window may have grown during a threaded device solve — slice
+            # to the snapshot length; the next solve re-aligns)
+            self.estimate = np.asarray(res.poses)[
+                :min(prep["num_window"], len(self.window))]
         else:
             self.finish_init = False     # trigger re-init next solve
         return {"solved": True, "cost": cost,
                 "iterations": int(res.iterations),
                 "finish_init": self.finish_init,
-                "num_frames": F, "num_drones": D}
+                "num_frames": prep["F"], "num_drones": prep["D"]}
 
     def pose_covariance(self, drone: int,
                         frame: Optional[int] = None) -> Optional[np.ndarray]:

@@ -77,8 +77,47 @@ def main():
         except OSError as e:
             print(json.dumps({"warn": f"udp unavailable: {e}"}), flush=True)
 
-    proxy = LocalProxy(self_id, on_frame=lambda sf: estimator.on_swarm_frame(
-        sf.t, {d: p for d, (p, _v) in sf.nodes.items()}, sf.ranges))
+    # Pipeline concurrency (reference: MultiThreadedSpinner + solver mutex,
+    # swarm_localization_node.cpp:565, solver.hpp:55-56): the device solve
+    # runs on a worker thread so ingestion and the high-rate predict path
+    # keep flowing during a solve. The lock guards estimator mutation; the
+    # jitted device program itself runs lock-free (estimator.execute_solve).
+    import queue
+    import threading
+
+    est_lock = threading.RLock()
+    solve_busy = threading.Event()
+    results_q: "queue.Queue" = queue.Queue()
+
+    def _solve_worker(t_req: float):
+        try:
+            with est_lock:
+                prep = estimator.prepare_solve()
+            if prep.get("refused"):
+                results_q.put((t_req, prep["status"]))
+                return
+            res = estimator.execute_solve(prep)      # lock-free device call
+            with est_lock:
+                out = estimator.finalize_solve(prep, res)
+            if node is not None:
+                for pair, keys in estimator.pair_inliers.items():
+                    from omniswarm_tpu.swarm.comm import InlierSetPacket
+                    node.net.broadcast_inlier_set(
+                        InlierSetPacket(drone_a=pair[0], drone_b=pair[1],
+                                        loop_keys=sorted(keys)), t_req)
+            results_q.put((t_req, out))
+        except Exception as e:                       # pragma: no cover
+            results_q.put((t_req, {"solved": False, "reason": repr(e)}))
+        finally:
+            solve_busy.clear()
+
+
+    def _on_frame(sf):
+        with est_lock:
+            estimator.on_swarm_frame(
+                sf.t, {d: p for d, (p, _v) in sf.nodes.items()}, sf.ranges)
+
+    proxy = LocalProxy(self_id, on_frame=_on_frame)
 
     last_solve = -np.inf
     last_predict = -np.inf
@@ -97,36 +136,50 @@ def main():
         kind = msg.get("type")
         if kind == "vio":
             pose = np.asarray(msg["pose"], float)
-            proxy.on_self_odometry(t, pose, np.asarray(
-                msg.get("vel", [0, 0, 0]), float))
-            estimator.on_vio(t, self_id, pose)
+            with est_lock:
+                proxy.on_self_odometry(t, pose, np.asarray(
+                    msg.get("vel", [0, 0, 0]), float))
+                estimator.on_vio(t, self_id, pose)
         elif kind == "uwb":
-            distances = {int(k): float(v)
-                         for k, v in msg.get("distances", {}).items()}
-            proxy.on_uwb_tick(t, distances)
+            with est_lock:
+                proxy.on_uwb_tick(t, distances := {
+                    int(k): float(v)
+                    for k, v in msg.get("distances", {}).items()})
         elif kind == "frame":
             vio = {int(k): np.asarray(v, float)
                    for k, v in msg.get("vio", {}).items()}
             ranges = {(int(a), int(b)): float(v)
                       for a, b, v in msg.get("ranges", [])}
-            estimator.on_swarm_frame(t, vio, ranges)
+            with est_lock:
+                estimator.on_swarm_frame(t, vio, ranges)
         elif kind == "quit":
             break
 
         if bus is not None:
             bus.step(t)
         if node is not None:
-            node.step(t)
+            with est_lock:
+                node.step(t)
 
-        if t - last_solve >= solve_period:
-            last_solve = t
-            out = (node.solve(t) if node is not None else estimator.solve())
-            print(json.dumps({"type": "solve", "t": t, **{
+        # drain completed async solves
+        while not results_q.empty():
+            t_req, out = results_q.get_nowait()
+            print(json.dumps({"type": "solve", "t": t_req, **{
                 k: (v if not isinstance(v, float) or np.isfinite(v) else None)
                 for k, v in out.items()}}), flush=True)
+
+        # dispatch a solve at force_freq; if the previous one is still in
+        # flight, skip this tick (the reference's solve loop behaves the
+        # same under its mutex, node.cpp:182-192)
+        if t - last_solve >= solve_period and not solve_busy.is_set():
+            last_solve = t
+            solve_busy.set()
+            threading.Thread(target=_solve_worker, args=(t,),
+                             daemon=True).start()
         if t - last_predict >= predict_period and estimator.finish_init:
             last_predict = t
-            pred = estimator.predict_swarm(t)
+            with est_lock:
+                pred = estimator.predict_swarm(t)
             print(json.dumps({
                 "type": "predict", "t": t,
                 "poses": {str(d): [round(float(x), 4) for x in p]
@@ -134,6 +187,24 @@ def main():
             rel = {d: p for d, p in pred.items() if d != self_id}
             pkt = downlink.tick(t, rel)
             _ = pkt  # would go to the narrowband radio driver
+
+    # wait for the in-flight solve and drain its result before exiting
+    while solve_busy.is_set():
+        time.sleep(0.01)
+    while not results_q.empty():
+        t_req, out = results_q.get_nowait()
+        print(json.dumps({"type": "solve", "t": t_req, **{
+            k: (v if not isinstance(v, float) or np.isfinite(v) else None)
+            for k, v in out.items()}}), flush=True)
+    # replay input can end before the async solve lands: emit the final
+    # fused prediction once the last solve is in
+    if estimator.finish_init:
+        pred = estimator.predict_swarm(last_solve)
+        if pred:
+            print(json.dumps({
+                "type": "predict", "t": last_solve,
+                "poses": {str(d): [round(float(x), 4) for x in pp]
+                          for d, pp in pred.items()}}), flush=True)
 
     if bus is not None:
         bus.close()
