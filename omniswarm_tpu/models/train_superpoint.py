@@ -147,7 +147,8 @@ def train_detector(*, steps: int = 300, batch: int = 16, h: int = 64,
 
 
 def make_warped_pairs(rng, batch: int, h: int, w: int, *,
-                      max_rot: float = 0.3, max_shift: float = 12.0):
+                      max_rot: float = 0.3, max_shift: float = 12.0,
+                      scale=(1.0, 1.0)):
     """Rendered image pairs under a known rigid warp.
 
     Returns (imgs_a, imgs_b, T_ba (B, 2, 3)) where a pixel p_a in image A
@@ -165,19 +166,22 @@ def make_warped_pairs(rng, batch: int, h: int, w: int, *,
         img, _ = render_shapes(rng, h, w, n_shapes=6)
         imgs_a[b, :, :, 0] = img
         ang = rng.uniform(-max_rot, max_rot)
+        zoom = rng.uniform(*scale)
         tx = rng.uniform(-max_shift, max_shift)
         ty = rng.uniform(-max_shift, max_shift)
-        c, s = np.cos(ang), np.sin(ang)
+        c, s = np.cos(ang) * zoom, np.sin(ang) * zoom
         cx, cy = w / 2.0, h / 2.0
-        # forward map a→b around the image center
-        # p_b = R (p_a - ctr) + ctr + t
+        # forward map a→b around the image center (rotation+zoom+shift)
+        # p_b = z R (p_a - ctr) + ctr + t
         T_ba[b] = [[c, -s, cx - c * cx + s * cy + tx],
                    [s, c, cy - s * cx - c * cy + ty]]
-        # render B by inverse-warping: sample A at p_a = R^-1 (p_b - ctr - t) + ctr
+        # render B by inverse-warping:
+        # p_a = (zR)^-1 (p_b - ctr - t) + ctr
         xb = xs - cx - tx
         yb = ys - cy - ty
-        xa = c * xb + s * yb + cx
-        ya = -s * xb + c * yb + cy
+        z2 = zoom * zoom
+        xa = (c * xb + s * yb) / z2 + cx
+        ya = (-s * xb + c * yb) / z2 + cy
         x0 = np.clip(np.floor(xa).astype(int), 0, w - 2)
         y0 = np.clip(np.floor(ya).astype(int), 0, h - 2)
         fx = np.clip(xa - x0, 0, 1)
@@ -289,7 +293,8 @@ def train_descriptors(*, steps: int = 500, batch: int = 8, h: int = 64,
 
 
 def matching_metrics(params, *, n_eval: int = 8, h: int = 64, w: int = 96,
-                     seed: int = 77, top_k: int = 50):
+                     seed: int = 77, top_k: int = 50, max_rot: float = 0.3,
+                     max_shift: float = 12.0, scale=(1.0, 1.0)):
     """Cross-warp descriptor matching precision on held-out pairs.
 
     Detect keypoints in A, grid-sample descriptors in both views, mutual
@@ -313,7 +318,8 @@ def matching_metrics(params, *, n_eval: int = 8, h: int = 64, w: int = 96,
     rng = np.random.default_rng(seed)
     correct = total = 0
     for _ in range(n_eval):
-        ia, ib, T = make_warped_pairs(rng, 1, h, w)
+        ia, ib, T = make_warped_pairs(rng, 1, h, w, max_rot=max_rot,
+                                      max_shift=max_shift, scale=scale)
         xy_a, _, desc_a, va = ex(ia)
         xy_b, _, desc_b, vb = ex(ib)
         m = mutual_match(desc_a[0], desc_b[0], va[0], vb[0],
