@@ -109,6 +109,10 @@ class LoopDetector:
         self.remote_db = placedb.make_placedb(self.p.max_db_size, global_dim)
         self.local_kfs: Dict[int, KeyframeData] = {}   # slot -> keyframe
         self.remote_kfs: Dict[int, KeyframeData] = {}
+        # host-side mirrors of the DB cursors: int(db.cursor) is a device
+        # sync (a full round trip each over the remote-TPU tunnel)
+        self._local_count = 0
+        self._remote_count = 0
         self.pair_loop_count: Dict[Tuple[int, int], int] = {}
         self._key = jax.random.PRNGKey(seed)
         self.num_queries = 0
@@ -162,17 +166,19 @@ class LoopDetector:
         # add AFTER query so a frame never matches itself
         if not prevent_adding_db:
             if kf.drone_id == self.self_id:
-                slot = int(self.local_db.cursor) % self.p.max_db_size
+                slot = self._local_count % self.p.max_db_size
                 self.local_db = placedb.add(
                     self.local_db, jnp.asarray(kf.global_desc, jnp.float32),
                     jnp.asarray(kf.drone_id), jnp.asarray(kf.frame_id))
                 self.local_kfs[slot] = kf
+                self._local_count += 1
             else:
-                slot = int(self.remote_db.cursor) % self.p.max_db_size
+                slot = self._remote_count % self.p.max_db_size
                 self.remote_db = placedb.add(
                     self.remote_db, jnp.asarray(kf.global_desc, jnp.float32),
                     jnp.asarray(kf.drone_id), jnp.asarray(kf.frame_id))
                 self.remote_kfs[slot] = kf
+                self._remote_count += 1
         if result is not None:
             pair = (min(result.edge.drone_a, result.edge.drone_b),
                     max(result.edge.drone_a, result.edge.drone_b))
@@ -186,8 +192,8 @@ class LoopDetector:
         k = self.p.search_nearest_num
         out = []
 
-        def q(db, kfs, guard):
-            if int(db.cursor) == 0:
+        def q(db, kfs, guard, count):
+            if count == 0:
                 return
             idx, sim = placedb.query_topk(
                 db, jnp.asarray(kf.global_desc, jnp.float32),
@@ -199,14 +205,15 @@ class LoopDetector:
 
         if kf.drone_id != self.self_id:
             # remote keyframe: match against OUR keyframes only
-            q(self.local_db, self.local_kfs, 1)
+            q(self.local_db, self.local_kfs, 1, self._local_count)
         elif nonkeyframe:
             # self non-keyframe: match against remote keyframes only
-            q(self.remote_db, self.remote_kfs, 1)
+            q(self.remote_db, self.remote_kfs, 1, self._remote_count)
         else:
             # self keyframe: own history (recency-guarded) + remote
-            q(self.local_db, self.local_kfs, self.p.match_index_dist)
-            q(self.remote_db, self.remote_kfs, 1)
+            q(self.local_db, self.local_kfs, self.p.match_index_dist,
+              self._local_count)
+            q(self.remote_db, self.remote_kfs, 1, self._remote_count)
         out.sort(key=lambda t: -t[1])
         return out[:k]
 
