@@ -112,6 +112,7 @@ class SwarmEstimator:
         # peers) and sets received from peers (adopted for foreign pairs).
         self.pair_inliers: Dict[Tuple[int, int], set] = {}
         self.external_inliers: Dict[Tuple[int, int], set] = {}
+        self._loop_keys: set = set()
         self._rng = np.random.default_rng(rng_seed)
         self._last_kf_t: Optional[float] = None
         # lookup caches for the vectorized ingest path
@@ -228,7 +229,45 @@ class SwarmEstimator:
             # ablation: stop ingesting loops after initialization
             # (debug_loop_initial_only, solver.cpp:569-575)
             return
+        # dedup: the same physical measurement arrives again when peers
+        # rebroadcast loop edges (LoopNet sent_message dedup is per-sender;
+        # pair-canonical loop_key identity is the cross-sender equivalent)
+        key = loop_key(loop)
+        if key in self._loop_keys:
+            return
+        self._loop_keys.add(key)
         self.loops.append(loop)
+
+    def _prune_stale(self) -> None:
+        """Drop measurement records that can no longer anchor to the window.
+
+        The reference's all_loops / ego_motion_trajs grow without bound
+        (add_new_loop_connection pushes forever); a production estimator
+        must prune once records predate the sliding window."""
+        if not self.window:
+            return
+        tmin = self.window[0].t - 2.0
+        kept = [lp for lp in self.loops if max(lp.t_a, lp.t_b) >= tmin]
+        if len(kept) != len(self.loops):
+            self.loops = kept
+            self._loop_keys = {loop_key(lp) for lp in kept}
+        self.dets = [d for d in self.dets if d.t >= tmin]
+        for d in list(self.ego):
+            hist = self.ego[d]
+            cut = 0
+            while cut < len(hist) and hist[cut][0] < tmin:
+                cut += 1
+            if cut:
+                self.ego[d] = hist[cut:]
+                self._ego_idx_cache.pop(d, None)
+        for d in list(self.ego6):
+            hist = self.ego6[d]
+            cut = 0
+            while cut < len(hist) and hist[cut][0] < tmin:
+                cut += 1
+            if cut:
+                self.ego6[d] = hist[cut:]
+                self._ego6_idx_cache.pop(d, None)
 
     def on_detection(self, det: DetRecord) -> None:
         self.dets.append(det)
@@ -706,6 +745,7 @@ class SwarmEstimator:
                                            "insufficient self motion"}}
         if p.enable_data_association:
             self._associate_anonymous_detections()
+        self._prune_stale()
         graph, init, idmap = self._build()
         F, D = init.shape[:2]
 

@@ -113,3 +113,29 @@ def test_predict_relative_frame(data):
         gt_rel = np.linalg.norm(data.gt[24, d, :3] - data.gt[24, 0, :3])
         est_rel = np.linalg.norm(pose[:3])
         assert abs(est_rel - gt_rel) < 0.5, (d, est_rel, gt_rel)
+
+
+def test_loop_dedup_and_stale_pruning():
+    """Rebroadcast loop edges dedup by key; records predating the window
+    are pruned (the reference's all_loops grows without bound)."""
+    from omniswarm_tpu.swarm.estimator import LoopRecord
+
+    est = SwarmEstimator(SolverParams(max_frame_number=5, kf_movement=0.01,
+                                      enable_random_keyframe_deletion=False))
+    lp = LoopRecord(t_a=1.0, drone_a=0, t_b=1.0, drone_b=1,
+                    dpose=np.array([1.0, 0, 0, 0]), pos_std=0.1, yaw_std=0.05)
+    est.on_loop(lp)
+    est.on_loop(LoopRecord(t_a=1.0, drone_a=0, t_b=1.0, drone_b=1,
+                           dpose=np.array([1.0, 0, 0, 0]),
+                           pos_std=0.1, yaw_std=0.05))
+    assert len(est.loops) == 1          # duplicate key dropped
+
+    for i in range(20):
+        est.on_swarm_frame(float(i), {0: np.array([i * 1.0, 0, 0, 0.0]),
+                                      1: np.array([i * 1.0, 2, 0, 0.0])}, {})
+    est._prune_stale()
+    # the t=1.0 loop now predates the 5-frame window (t=15..19)
+    assert len(est.loops) == 0
+    assert len(est._loop_keys) == 0
+    # ego histories also trimmed
+    assert est.ego[0][0][0] >= est.window[0].t - 2.0
