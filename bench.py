@@ -156,23 +156,33 @@ def main():
         from omniswarm_tpu.models.superpoint import SuperPointExtractor
 
         H, W, B = 208, 400, 4
-        sp = SuperPointExtractor(height=H, width=W, max_keypoints=200)
-        nv = GlobalDescriptorExtractor(height=H, width=W, out_dim=4096)
         imgs = jax.device_put(jnp.asarray(np.random.default_rng(0).uniform(
             size=(B, H, W, 1)).astype(np.float32)))
-        o = sp(imgs)
-        jax.block_until_ready(o[0])
-        g = nv(imgs)
-        jax.block_until_ready(g)
-        n = 50
-        t0 = time.perf_counter()
-        for _ in range(n):
+
+        def frontend_rate(dtype):
+            sp = SuperPointExtractor(height=H, width=W, max_keypoints=200,
+                                     dtype=dtype)
+            nv = GlobalDescriptorExtractor(height=H, width=W, out_dim=4096,
+                                           dtype=dtype)
             o = sp(imgs)
+            jax.block_until_ready(o[0])
             g = nv(imgs)
-        jax.block_until_ready(o[0])
-        jax.block_until_ready(g)
-        dt = (time.perf_counter() - t0) / n
-        extras["frontend_views_per_s"] = round(B / dt, 2)
+            jax.block_until_ready(g)
+            n = 50
+            t0 = time.perf_counter()
+            for _ in range(n):
+                o = sp(imgs)
+                g = nv(imgs)
+            jax.block_until_ready(o[0])
+            jax.block_until_ready(g)
+            return B / ((time.perf_counter() - t0) / n)
+
+        # bf16 conv trunks (MXU-native; heads stay f32 — parity pinned by
+        # tests/test_bf16_frontend.py), f32 for reference
+        extras["frontend_views_per_s"] = round(frontend_rate(jnp.bfloat16), 2)
+        extras["frontend_dtype"] = "bfloat16"
+        extras["frontend_views_per_s_f32"] = round(
+            frontend_rate(jnp.float32), 2)
     except Exception as e:                      # pragma: no cover
         extras["frontend_error"] = str(e)[:200]
 

@@ -28,8 +28,12 @@ def main():
     ap.add_argument("--noise", type=float, default=0.03)
     ap.add_argument("--scale", type=float, nargs=2, default=(1.0, 1.0))
     ap.add_argument("--cosine", action="store_true")
+    ap.add_argument("--revisit", type=float, default=None,
+                    help="train view pairs as revisits within this fraction "
+                         "of the view size (e.g. 0.35)")
     ap.add_argument("--hard-eval", action="store_true",
-                    help="evaluate on the hard 256-way jittered benchmark")
+                    help="evaluate on the hard 256-way jittered revisit "
+                         "benchmark")
     args = ap.parse_args()
 
     from omniswarm_tpu.models.netvlad import (
@@ -47,17 +51,17 @@ def main():
         lr=args.lr, seed=args.seed, params=params,
         log_every=max(args.steps // 20, 1), temperature=args.temperature,
         max_rot=args.max_rot, noise=args.noise, scale=tuple(args.scale),
-        cosine=args.cosine)
-    for it, loss in history:
-        print(f"step {it:5d} loss {loss:.4f}", flush=True)
+        cosine=args.cosine, verbose=True, revisit_offset=args.revisit)
     m = retrieval_metrics(params)
     print(f"eval(easy 64-way): recall@1 {m['recall_at_1']:.3f} "
           f"margin {m['mean_margin']:.3f}", flush=True)
     if args.hard_eval:
         mh = retrieval_metrics(params, n_places=256, max_rot=0.5,
-                               noise=0.06, scale=(0.8, 1.25))
-        print(f"eval(hard 256-way): recall@1 {mh['recall_at_1']:.3f} "
-              f"margin {mh['mean_margin']:.3f}", flush=True)
+                               noise=0.06, scale=(0.8, 1.25),
+                               revisit_offset=0.35)
+        print(f"eval(hard 256-way revisit): recall@1 "
+              f"{mh['recall_at_1']:.3f} margin {mh['mean_margin']:.3f}",
+              flush=True)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     save_netvlad_npz(params, args.out)
     print(f"saved {args.out}")
