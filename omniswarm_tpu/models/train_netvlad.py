@@ -185,7 +185,9 @@ def train_netvlad(*, steps: int = 600, places_per_batch: int = 16,
                   max_rot: float = 0.25, noise: float = 0.03,
                   scale: Tuple[float, float] = (1.0, 1.0),
                   cosine: bool = False, verbose: bool = False,
-                  revisit_offset: Optional[float] = None):
+                  revisit_offset: Optional[float] = None,
+                  save_every: Optional[int] = None,
+                  save_path: Optional[str] = None):
     """Train MobileNetVLAD (bundled architecture). Returns (params, history).
 
     The place pool renders once on the host; each step samples views and
@@ -253,6 +255,17 @@ def train_netvlad(*, steps: int = 600, places_per_batch: int = 16,
             history.append((it, float(loss)))
             if verbose:
                 print(f"step {it:5d} loss {float(loss):.4f}", flush=True)
+        if (save_every and save_path and it > 0
+                and (it % save_every == 0 or it == steps - 1)):
+            # periodic checkpoint so a relaunch after a tunnel stall
+            # resumes instead of restarting (atomic replace)
+            import os
+
+            from omniswarm_tpu.models.netvlad import save_netvlad_npz
+
+            tmp = save_path + ".tmp.npz"
+            save_netvlad_npz(params, tmp)
+            os.replace(tmp, save_path)
     return params, history
 
 

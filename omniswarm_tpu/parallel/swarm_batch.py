@@ -12,16 +12,14 @@ shards ONE problem's factors): here we shard ACROSS problems.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from omniswarm_tpu.solver.dense import DenseGraph, assemble_blocks
-from omniswarm_tpu.solver.gauss_newton import SolveResult, _apply_step
+from omniswarm_tpu.solver.dense import DenseGraph
+from omniswarm_tpu.solver.gauss_newton import SolveResult
 
 
 def stack_graphs(graphs: Sequence[DenseGraph]) -> DenseGraph:
@@ -34,82 +32,32 @@ def lm_solve_multigraph_impl(graphs: DenseGraph, poses0: jnp.ndarray, *,
                              huber_delta: float = 1.0,
                              det_sphere_std: float = 0.1,
                              det_inv_dep_std: float = 0.5,
-                             function_tolerance: float = 1e-6) -> SolveResult:
+                             function_tolerance: float = 1e-6,
+                             exact_linear: bool = False) -> SolveResult:
     """Batched LM where each lane has its OWN graph (stacked DenseGraph).
 
-    Identical trust-region logic to solver.dense.lm_solve_bt_batched, but
-    the assembly/solve are vmapped over (graph, poses) jointly.
+    Delegates to the production batched solver
+    (solver.dense.lm_solve_bt_batched_impl), which accepts a stacked graph
+    — so fleet lanes get the same warm-started Newton-Schulz + bf16
+    Woodbury machinery as the lock-step multi-init path (measured ~4×
+    faster per iteration than the exact per-level Cholesky this module
+    used previously). ``exact_linear=True`` restores the exact linear
+    path for cross-checks.
     """
-    import jax.scipy.linalg as jsl
+    from omniswarm_tpu.solver.dense import lm_solve_bt_batched_impl
 
-    from omniswarm_tpu.solver.block_tridiag import bt_solve
-
-    B = poses0.shape[0]
-    F, D = poses0.shape[1:3]
-    m = 4 * D
-
-    assemble = jax.vmap(functools.partial(
-        assemble_blocks, huber_delta=huber_delta,
-        det_sphere_std=det_sphere_std, det_inv_dep_std=det_inv_dep_std),
-        in_axes=(0, 0))
-
-    def smw_solve_one(A, Boff, g, U, lam):
-        diagT = jnp.diagonal(A, axis1=-2, axis2=-1)
-        diagU = jnp.sum(U * U, axis=-1)
-        d = lam * jnp.maximum(diagT + diagU, 1e-6)
-        Ad = A + d[..., None] * jnp.eye(m, dtype=A.dtype)[None]
-        rhs = jnp.concatenate([-g[..., None], U], axis=-1)
-        Y = bt_solve(Ad, Boff, rhs)
-        yb, YU = Y[..., 0], Y[..., 1:]
-        C = U.shape[-1]
-        S = jnp.eye(C, dtype=A.dtype) + jnp.einsum("fmc,fmd->cd", U, YU)
-        Uyb = jnp.einsum("fmc,fm->c", U, yb)
-        Lc, low = jsl.cho_factor(S, lower=True)
-        z = jsl.cho_solve((Lc, low), Uyb)
-        return (yb - jnp.einsum("fmc,c->fm", YU, z)).reshape(-1)
-
-    smw_solve = jax.vmap(smw_solve_one)
-
-    A0, B0, g0, U0, cost0 = assemble(graphs, poses0)
-
-    def cond(state):
-        return (~jnp.all(state[-1])) & (state[-2] < max_iterations)
-
-    def body(state):
-        poses, A, Boff, g, U, cost, lam, it, done = state
-        dx = smw_solve(A, Boff, g, U, lam)
-        bad = ~jnp.all(jnp.isfinite(dx), axis=-1)
-        dx = jnp.where(bad[:, None], 0.0, dx)
-        new_poses = jax.vmap(_apply_step)(poses, dx)
-        An, Bn, gn, Un, new_cost = assemble(graphs, new_poses)
-        accept = jnp.isfinite(new_cost) & (new_cost < cost) & ~bad & ~done
-
-        def sel(new, old):
-            return jnp.where(accept.reshape((B,) + (1,) * (new.ndim - 1)),
-                             new, old)
-
-        poses = sel(new_poses, poses)
-        A, Boff, g, U = sel(An, A), sel(Bn, Boff), sel(gn, g), sel(Un, U)
-        out_cost = jnp.where(accept, new_cost, cost)
-        lam = jnp.where(done, lam, jnp.clip(
-            jnp.where(accept, lam * 0.3, lam * 5.0), 1e-10, 1e10))
-        converged = accept & (cost - new_cost <= function_tolerance * cost)
-        stalled = (~accept) & (lam >= 1e9) & ~done
-        return (poses, A, Boff, g, U, out_cost, lam, it + 1,
-                done | converged | stalled)
-
-    state0 = (poses0, A0, B0, g0, U0, cost0,
-              jnp.full((B,), 1e-4, poses0.dtype), jnp.zeros((), jnp.int32),
-              jnp.zeros((B,), bool))
-    out = jax.lax.while_loop(cond, body, state0)
-    return SolveResult(poses=out[0], cost=out[5], initial_cost=cost0,
-                       iterations=out[7], lam=out[6])
+    return lm_solve_bt_batched_impl(
+        graphs, poses0, max_iterations=max_iterations,
+        huber_delta=huber_delta, det_sphere_std=det_sphere_std,
+        det_inv_dep_std=det_inv_dep_std,
+        function_tolerance=function_tolerance, exact_linear=exact_linear)
 
 
 lm_solve_multigraph = jax.jit(
     lm_solve_multigraph_impl,
     static_argnames=("max_iterations", "huber_delta", "det_sphere_std",
-                     "det_inv_dep_std", "function_tolerance"),
+                     "det_inv_dep_std", "function_tolerance",
+                     "exact_linear"),
 )
 
 

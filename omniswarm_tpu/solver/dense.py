@@ -1012,15 +1012,27 @@ def lm_solve_bt_batched_impl(graph: DenseGraph, poses0_batch: jnp.ndarray,
     cyclic-reduction solve are vmapped *inside* the body (cheap to trace:
     the linear solve is an unrolled log-depth program, not a nested
     while_loop).
+
+    ``graph`` may be a single DenseGraph shared by every lane (multi-init
+    trials: solver.cpp:781-845 run serially in the reference) or a
+    *stacked* DenseGraph with a leading batch axis matching
+    ``poses0_batch`` — one independent problem per lane (fleet serving;
+    parallel/swarm_batch.py builds these with stack_graphs).
     """
     from omniswarm_tpu.solver.gauss_newton import SolveResult, _apply_step
 
-    F, D = graph.pose_valid.shape
+    graph_batched = graph.pose_valid.ndim == 3
+    F, D = graph.pose_valid.shape[graph_batched:]
     B = poses0_batch.shape[0]
 
-    assemble = jax.vmap(functools.partial(
-        assemble_blocks, graph, huber_delta=huber_delta,
-        det_sphere_std=det_sphere_std, det_inv_dep_std=det_inv_dep_std))
+    base = functools.partial(
+        assemble_blocks, huber_delta=huber_delta,
+        det_sphere_std=det_sphere_std, det_inv_dep_std=det_inv_dep_std)
+    if graph_batched:
+        vassemble = jax.vmap(base)
+        assemble = lambda poses: vassemble(graph, poses)
+    else:
+        assemble = jax.vmap(functools.partial(base, graph))
 
     smw_cold = jax.vmap(
         lambda a, b, g, u, l: _smw_solve_core(a, b, g, u, l, None,

@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--hard-eval", action="store_true",
                     help="evaluate on the hard 256-way jittered revisit "
                          "benchmark")
+    ap.add_argument("--save-every", type=int, default=1000,
+                    help="checkpoint to --out every N steps (0 disables)")
+    ap.add_argument("--continue-out", action="store_true",
+                    help="if --out exists, resume from it (stall-relaunch "
+                         "friendly: combine with tools/run_with_retry.sh)")
     args = ap.parse_args()
 
     from omniswarm_tpu.models.netvlad import (
@@ -45,13 +50,19 @@ def main():
         train_netvlad,
     )
 
-    params = load_netvlad_npz(args.resume) if args.resume else None
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    resume = args.resume
+    if args.continue_out and os.path.exists(args.out):
+        resume = args.out
+        print(f"resuming from existing {args.out}", flush=True)
+    params = load_netvlad_npz(resume) if resume else None
     params, history = train_netvlad(
         steps=args.steps, places_per_batch=args.places, pool_size=args.pool,
         lr=args.lr, seed=args.seed, params=params,
         log_every=max(args.steps // 20, 1), temperature=args.temperature,
         max_rot=args.max_rot, noise=args.noise, scale=tuple(args.scale),
-        cosine=args.cosine, verbose=True, revisit_offset=args.revisit)
+        cosine=args.cosine, verbose=True, revisit_offset=args.revisit,
+        save_every=args.save_every or None, save_path=args.out)
     m = retrieval_metrics(params)
     print(f"eval(easy 64-way): recall@1 {m['recall_at_1']:.3f} "
           f"margin {m['mean_margin']:.3f}", flush=True)
