@@ -46,6 +46,53 @@ class MobileNetEncoder(nn.Module):
         return x  # (B, H/16, W/16, 512)
 
 
+class SeparableConvGN(nn.Module):
+    """v2 block: depthwise/pointwise convs with GroupNorm (f32) + ReLU."""
+
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        x = nn.Conv(in_ch, (3, 3), strides=(self.stride, self.stride),
+                    padding="SAME", feature_group_count=in_ch,
+                    use_bias=False, dtype=self.dtype, name="dw")(x)
+        x = nn.GroupNorm(num_groups=min(32, in_ch), dtype=jnp.float32,
+                         name="dw_gn")(x)
+        x = nn.relu(x).astype(self.dtype)
+        x = nn.Conv(self.features, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="pw")(x)
+        x = nn.GroupNorm(num_groups=min(32, self.features),
+                         dtype=jnp.float32, name="pw_gn")(x)
+        return nn.relu(x).astype(self.dtype)
+
+
+class MobileNetEncoderV2(nn.Module):
+    """Normalized, one-block-deeper encoder (checkpoint arch version 2).
+
+    The v1 encoder has no normalization anywhere — fine for the shallow
+    detector-style training it was born in, but it caps contrastive
+    place-recognition training well below the revisit-benchmark target.
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(32, (3, 3), strides=(2, 2), padding="SAME",
+                    use_bias=False, dtype=self.dtype, name="stem")(x)
+        x = nn.GroupNorm(num_groups=8, dtype=jnp.float32,
+                         name="stem_gn")(x)
+        x = nn.relu(x).astype(self.dtype)
+        for i, (c, s) in enumerate(
+                [(64, 1), (128, 2), (128, 1), (256, 2), (256, 1),
+                 (512, 2), (512, 1)]):
+            x = SeparableConvGN(c, s, dtype=self.dtype, name=f"sep{i}")(x)
+        return x  # (B, H/16, W/16, 512)
+
+
 class NetVLAD(nn.Module):
     """NetVLAD pooling: (B, H, W, C) → (B, K*C) → projected descriptor.
 
@@ -92,11 +139,14 @@ class MobileNetVLAD(nn.Module):
     out_dim: int = 4096
     use_proj: bool = True
     dtype: Any = jnp.float32
+    encoder_version: int = 1
 
     @nn.compact
     def __call__(self, images):
         """images: (B, H, W, 1) grayscale in [0,1] → (B, out_dim) unit desc."""
-        x = MobileNetEncoder(dtype=self.dtype, name="encoder")(images)
+        enc = (MobileNetEncoderV2 if self.encoder_version >= 2
+               else MobileNetEncoder)
+        x = enc(dtype=self.dtype, name="encoder")(images)
         return NetVLAD(self.num_clusters, self.out_dim, self.use_proj,
                        name="vlad")(x)
 
@@ -105,10 +155,12 @@ class GlobalDescriptorExtractor:
     def __init__(self, params: Optional[Dict] = None, *, height: int = 208,
                  width: int = 400, num_clusters: int = 64,
                  out_dim: int = 4096, use_proj: bool = True,
-                 dtype: Any = jnp.float32, seed: int = 0):
+                 dtype: Any = jnp.float32, seed: int = 0,
+                 encoder_version: int = 1):
         self.model = MobileNetVLAD(num_clusters=num_clusters,
                                    out_dim=out_dim, use_proj=use_proj,
-                                   dtype=dtype)
+                                   dtype=dtype,
+                                   encoder_version=encoder_version)
         if params is None:
             params = self.model.init(
                 jax.random.PRNGKey(seed),
@@ -127,14 +179,16 @@ BUNDLED_CLUSTERS = 8
 BUNDLED_OUT_DIM = 4096
 
 
-def save_netvlad_npz(params: Dict, path: str) -> None:
-    """Save MobileNetVLAD params as a flat float16 npz."""
+def save_netvlad_npz(params: Dict, path: str, *,
+                     encoder_version: int = 1) -> None:
+    """Save MobileNetVLAD params as a flat float16 npz (+arch metadata)."""
     import numpy as np
     from flax.traverse_util import flatten_dict
 
     flat = flatten_dict(params, sep="/")
-    np.savez_compressed(
-        path, **{k: np.asarray(v, np.float16) for k, v in flat.items()})
+    out = {k: np.asarray(v, np.float16) for k, v in flat.items()}
+    out["__encoder_version"] = np.asarray(encoder_version, np.int32)
+    np.savez_compressed(path, **out)
 
 
 def load_netvlad_npz(path: str) -> Dict:
@@ -144,7 +198,18 @@ def load_netvlad_npz(path: str) -> Dict:
 
     raw = np.load(path)
     return unflatten_dict(
-        {k: jnp.asarray(raw[k], jnp.float32) for k in raw.files}, sep="/")
+        {k: jnp.asarray(raw[k], jnp.float32) for k in raw.files
+         if not k.startswith("__")}, sep="/")
+
+
+def netvlad_meta(path: str) -> Dict:
+    """Checkpoint arch metadata (encoder_version; v1 if absent)."""
+    import numpy as np
+
+    raw = np.load(path)
+    ver = int(raw["__encoder_version"]) if "__encoder_version" in raw.files \
+        else 1
+    return {"encoder_version": ver}
 
 
 def pretrained_global_extractor(**kw) -> "GlobalDescriptorExtractor":
@@ -162,4 +227,5 @@ def pretrained_global_extractor(**kw) -> "GlobalDescriptorExtractor":
     kw.setdefault("num_clusters", BUNDLED_CLUSTERS)
     kw.setdefault("out_dim", BUNDLED_OUT_DIM)
     kw.setdefault("use_proj", False)
+    kw.setdefault("encoder_version", netvlad_meta(path)["encoder_version"])
     return GlobalDescriptorExtractor(params, **kw)

@@ -187,7 +187,8 @@ def train_netvlad(*, steps: int = 600, places_per_batch: int = 16,
                   cosine: bool = False, verbose: bool = False,
                   revisit_offset: Optional[float] = None,
                   save_every: Optional[int] = None,
-                  save_path: Optional[str] = None):
+                  save_path: Optional[str] = None,
+                  encoder_version: int = 1):
     """Train MobileNetVLAD (bundled architecture). Returns (params, history).
 
     The place pool renders once on the host; each step samples views and
@@ -201,7 +202,8 @@ def train_netvlad(*, steps: int = 600, places_per_batch: int = 16,
 
     vh, vw = view
     model = MobileNetVLAD(num_clusters=BUNDLED_CLUSTERS,
-                          out_dim=BUNDLED_OUT_DIM, use_proj=False)
+                          out_dim=BUNDLED_OUT_DIM, use_proj=False,
+                          encoder_version=encoder_version)
     pool = PlacePool(pool_size, view=view, seed=seed)
     places_dev = jax.device_put(jnp.asarray(np.stack(pool.places)))
     if params is None:
@@ -264,7 +266,7 @@ def train_netvlad(*, steps: int = 600, places_per_batch: int = 16,
             from omniswarm_tpu.models.netvlad import save_netvlad_npz
 
             tmp = save_path + ".tmp.npz"
-            save_netvlad_npz(params, tmp)
+            save_netvlad_npz(params, tmp, encoder_version=encoder_version)
             os.replace(tmp, save_path)
     return params, history
 
@@ -274,7 +276,8 @@ def retrieval_metrics(params, *, n_places: int = 64, seed: int = 123,
                       batch: int = 32, max_rot: float = 0.25,
                       noise: float = 0.03,
                       scale: Tuple[float, float] = (1.0, 1.0),
-                      revisit_offset: Optional[float] = None):
+                      revisit_offset: Optional[float] = None,
+                      encoder_version: int = 1):
     """recall@1 + similarity margin on held-out places (gallery vs query).
 
     Hardness knobs (rotation/lighting-noise/zoom jitter + n_places) define
@@ -288,7 +291,8 @@ def retrieval_metrics(params, *, n_places: int = 64, seed: int = 123,
     center is independent of the gallery's — mostly-disjoint content at
     view≪canvas, which probes place *coverage*, not recognition."""
     model = MobileNetVLAD(num_clusters=BUNDLED_CLUSTERS,
-                          out_dim=BUNDLED_OUT_DIM, use_proj=False)
+                          out_dim=BUNDLED_OUT_DIM, use_proj=False,
+                          encoder_version=encoder_version)
     pool = PlacePool(n_places, seed=seed, view=view)
     vh, vw = view
     gal = np.zeros((n_places, vh, vw, 1), np.float32)

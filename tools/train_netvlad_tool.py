@@ -39,10 +39,15 @@ def main():
     ap.add_argument("--continue-out", action="store_true",
                     help="if --out exists, resume from it (stall-relaunch "
                          "friendly: combine with tools/run_with_retry.sh)")
+    ap.add_argument("--arch", type=int, default=1, choices=(1, 2),
+                    help="encoder version for fresh training (2 = "
+                         "GroupNorm'd deeper encoder); resumed checkpoints "
+                         "use their stored version")
     args = ap.parse_args()
 
     from omniswarm_tpu.models.netvlad import (
         load_netvlad_npz,
+        netvlad_meta,
         save_netvlad_npz,
     )
     from omniswarm_tpu.models.train_netvlad import (
@@ -55,6 +60,7 @@ def main():
     if args.continue_out and os.path.exists(args.out):
         resume = args.out
         print(f"resuming from existing {args.out}", flush=True)
+    arch = netvlad_meta(resume)["encoder_version"] if resume else args.arch
     params = load_netvlad_npz(resume) if resume else None
     params, history = train_netvlad(
         steps=args.steps, places_per_batch=args.places, pool_size=args.pool,
@@ -62,20 +68,20 @@ def main():
         log_every=max(args.steps // 20, 1), temperature=args.temperature,
         max_rot=args.max_rot, noise=args.noise, scale=tuple(args.scale),
         cosine=args.cosine, verbose=True, revisit_offset=args.revisit,
-        save_every=args.save_every or None, save_path=args.out)
-    m = retrieval_metrics(params)
+        save_every=args.save_every or None, save_path=args.out,
+        encoder_version=arch)
+    m = retrieval_metrics(params, encoder_version=arch)
     print(f"eval(easy 64-way): recall@1 {m['recall_at_1']:.3f} "
           f"margin {m['mean_margin']:.3f}", flush=True)
     if args.hard_eval:
         mh = retrieval_metrics(params, n_places=256, max_rot=0.5,
                                noise=0.06, scale=(0.8, 1.25),
-                               revisit_offset=0.35)
+                               revisit_offset=0.35, encoder_version=arch)
         print(f"eval(hard 256-way revisit): recall@1 "
               f"{mh['recall_at_1']:.3f} margin {mh['mean_margin']:.3f}",
               flush=True)
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    save_netvlad_npz(params, args.out)
-    print(f"saved {args.out}")
+    save_netvlad_npz(params, args.out, encoder_version=arch)
+    print(f"saved {args.out} (encoder v{arch})")
 
 
 if __name__ == "__main__":
