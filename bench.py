@@ -36,6 +36,31 @@ BUDGET_ANCHOR_ITER_PER_S = 2000.0
 BATCH = 8
 ITERS = 100
 
+# bf16 matmul peak by device kind (MFU denominators; conservative: the
+# solver's f32 stages count against the bf16 peak too)
+_PEAK_BF16 = {"v5 lite": 197e12, "v5litepod": 197e12, "v5e": 197e12,
+              "v4": 275e12, "v6 lite": 918e12, "v6e": 918e12}
+
+
+def _chip_peak_flops():
+    kind = jax.devices()[0].device_kind.lower()
+    for k, v in _PEAK_BF16.items():
+        if k in kind:
+            return v, jax.devices()[0].device_kind
+    return 197e12, jax.devices()[0].device_kind
+
+
+def _hlo_flops(jitted, *args):
+    """Total HLO FLOPs of one call via compile-time cost analysis
+    (jax.profiler hangs over the remote tunnel; cost_analysis works)."""
+    try:
+        c = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return float(c.get("flops", 0.0)) or None
+    except Exception:                            # pragma: no cover
+        return None
+
 
 def _median_time(fn, reps=5):
     ts = []
@@ -48,6 +73,11 @@ def _median_time(fn, reps=5):
 
 
 def main():
+    import sys
+
+    def prog(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
     from omniswarm_tpu import sim
     from omniswarm_tpu.solver.dense import (
         dense_graph_from_sim,
@@ -56,6 +86,7 @@ def main():
     )
 
     out = {}
+    prog("start")
 
     # ---- headline problem: 5 drones x 100 kf ---------------------------
     params = sim.SimParams(num_drones=5, num_frames=100, seed=0)
@@ -93,6 +124,53 @@ def main():
     dtB, _ = _median_time(solveB, reps=5)
     aggregate = itersB * BATCH / dtB
 
+    prog("headline done")
+
+    # ---- hardware efficiency (MFU) --------------------------------------
+    # HLO FLOPs of ONE warm LM iteration (assembly + warm-NS SMW solve),
+    # via compile-time cost analysis; achieved FLOP/s = flops * measured
+    # iteration rate. Reported against the chip's bf16 matmul peak
+    # (BASELINE "kernel efficiency" target; VERDICT r2 item 3).
+    peak, chip_kind = _chip_peak_flops()
+    eff = {"chip_kind": chip_kind, "chip_peak_bf16_flops": peak}
+    try:
+        import functools
+
+        from omniswarm_tpu.solver.dense import (_auto_pack, _smw_solve_core,
+                                                assemble_blocks)
+
+        def iter_flops_for(g, poses, F):
+            assemble = functools.partial(assemble_blocks, g)
+            lamv = jnp.asarray(1e-4, jnp.float32)
+            pk = _auto_pack(F)
+
+            @jax.jit
+            def cold(p):
+                A, B, gv, U, _ = assemble(p)
+                return _smw_solve_core(A, B, gv, U.astype(jnp.bfloat16),
+                                       lamv, None, pack=pk)[1]
+
+            @jax.jit
+            def one_iter(p, w):
+                A, B, gv, U, _ = assemble(p)
+                dx, _w = _smw_solve_core(A, B, gv, U.astype(jnp.bfloat16),
+                                         lamv, w, pack=pk)
+                return dx
+
+            w = cold(poses)
+            return _hlo_flops(one_iter, poses, w)
+
+        fl1 = iter_flops_for(graph, init, 100)
+        if fl1:
+            eff["solver_flops_per_iter"] = round(fl1)
+            eff["solver_achieved_tflops"] = round(fl1 * per_problem / 1e12, 3)
+            eff["solver_mfu"] = round(fl1 * per_problem / peak, 5)
+            eff["solver_mfu_batch8"] = round(fl1 * aggregate / peak, 5)
+    except Exception as e:                      # pragma: no cover
+        eff["mfu_error"] = str(e)[:200]
+
+    prog("mfu done")
+
     # ---- measured CPU baseline ------------------------------------------
     cpu = {}
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -119,11 +197,28 @@ def main():
             lambda: lm_solve_bt(gbig, ibig, max_iterations=BIG_ITERS,
                                 function_tolerance=0.0).poses, reps=3)
         extras["kf1024_iter_per_s"] = round(int(rbig.iterations) / dt_big, 2)
+        extras["kf1024_ms_per_iter"] = round(
+            dt_big / int(rbig.iterations) * 1e3, 3)
         extras["kf1024_pose_updates_per_s"] = round(
             int(rbig.iterations) * 1024 * 5 / dt_big, 0)
+        # F-scaling health: pose-update rate at F=1024 vs the F=100 rate
+        # (1.0 = perfectly linear window scaling)
+        extras["kf1024_linearity"] = round(
+            (int(rbig.iterations) * 1024 * 5 / dt_big)
+            / max(per_problem * 100 * 5, 1e-9), 3)
+        try:
+            flb = iter_flops_for(gbig, ibig, 1024)
+            if flb:
+                eff["kf1024_achieved_tflops"] = round(
+                    flb * int(rbig.iterations) / dt_big / 1e12, 3)
+                eff["kf1024_mfu"] = round(
+                    flb * int(rbig.iterations) / dt_big / peak, 5)
+        except Exception:                       # pragma: no cover
+            pass
     except Exception as e:                      # pragma: no cover
         extras["kf1024_error"] = str(e)[:200]
 
+    prog("kf1024 done")
     try:
         from omniswarm_tpu.parallel.swarm_batch import solve_fleet
 
@@ -151,15 +246,17 @@ def main():
     except Exception as e:                      # pragma: no cover
         extras["fleet_error"] = str(e)[:200]
 
+    prog("fleet done")
     try:
         from omniswarm_tpu.models.netvlad import GlobalDescriptorExtractor
         from omniswarm_tpu.models.superpoint import SuperPointExtractor
 
-        H, W, B = 208, 400, 4
-        imgs = jax.device_put(jnp.asarray(np.random.default_rng(0).uniform(
-            size=(B, H, W, 1)).astype(np.float32)))
+        H, W = 208, 400
+        rng0 = np.random.default_rng(0)
 
-        def frontend_rate(dtype):
+        def frontend_rate(dtype, B):
+            imgs = jax.device_put(jnp.asarray(rng0.uniform(
+                size=(B, H, W, 1)).astype(np.float32)))
             sp = SuperPointExtractor(height=H, width=W, max_keypoints=200,
                                      dtype=dtype)
             nv = GlobalDescriptorExtractor(height=H, width=W, out_dim=4096,
@@ -175,14 +272,42 @@ def main():
                 g = nv(imgs)
             jax.block_until_ready(o[0])
             jax.block_until_ready(g)
-            return B / ((time.perf_counter() - t0) / n)
+            rate = B / ((time.perf_counter() - t0) / n)
+            # per-view HLO FLOPs (both CNNs) for the MFU denominator
+            fl = None
+            try:
+                f_sp = _hlo_flops(sp._extract, sp.params, imgs)
+                f_nv = _hlo_flops(nv._apply, nv.params, imgs)
+                if f_sp and f_nv:
+                    fl = (f_sp + f_nv) / B
+            except Exception:                   # pragma: no cover
+                pass
+            return rate, fl
 
         # bf16 conv trunks (MXU-native; heads stay f32 — parity pinned by
-        # tests/test_bf16_frontend.py), f32 for reference
-        extras["frontend_views_per_s"] = round(frontend_rate(jnp.bfloat16), 2)
+        # tests/test_bf16_frontend.py), f32 for reference; batch-scaling
+        # curve shows where the front-end stops being dispatch-bound
+        # (VERDICT r2 weak #4)
+        scan = {}
+        fl_view = None
+        for B in (4, 16, 64):
+            prog(f"frontend B={B}")
+            r, fl = frontend_rate(jnp.bfloat16, B)
+            scan[B] = round(r, 2)
+            fl_view = fl or fl_view
+        extras["frontend_views_per_s"] = scan[4]
+        extras["frontend_views_per_s_b16"] = scan[16]
+        extras["frontend_views_per_s_b64"] = scan[64]
         extras["frontend_dtype"] = "bfloat16"
+        prog("frontend f32")
         extras["frontend_views_per_s_f32"] = round(
-            frontend_rate(jnp.float32), 2)
+            frontend_rate(jnp.float32, 4)[0], 2)
+        if fl_view:
+            best = max(scan.values())
+            eff["frontend_flops_per_view"] = round(fl_view)
+            eff["frontend_achieved_tflops_b64"] = round(
+                fl_view * best / 1e12, 3)
+            eff["frontend_mfu_b64"] = round(fl_view * best / peak, 5)
     except Exception as e:                      # pragma: no cover
         extras["frontend_error"] = str(e)[:200]
 
@@ -203,6 +328,7 @@ def main():
         "cpu_baseline_aggregate_iter_per_s": cpu_ag,
         "cpu_baseline_host": f"{cpu.get('host', '?')}x{cpu.get('nproc', '?')}",
         **extras,
+        **eff,
     }
     print(json.dumps(out))
 

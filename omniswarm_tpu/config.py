@@ -83,6 +83,11 @@ class SolverParams:
     enable_distance: bool = True
     enable_detection_depth: bool = True
 
+    # Output: attach per-drone marginal pose covariance to every fused
+    # solve result (the reference publishes covariance with each fused
+    # output, swarm_localization_node.cpp:207-422)
+    publish_covariance: bool = True
+
     # Debug ablations (params.hpp:38-50)
     debug_no_rejection: bool = False
     debug_loop_initial_only: bool = False

@@ -92,6 +92,47 @@ def relative_pose_between(
     return geo.delta_pose(p0, p1)
 
 
+# ---------------------------------------------------------------------------
+# Host-side numpy mirrors — the estimator's graph construction is numpy-pure
+# (each eager jnp op is a remote-tunnel round trip), so the per-meter drift
+# model is defined once here in scalar/numpy form and reused by the jnp path
+# below, swarm/estimator.py (_filter_loops re-anchoring) and robust/pcm.py.
+# ---------------------------------------------------------------------------
+
+def drift_variances(length, cov_pos_per_meter: float,
+                    cov_yaw_per_meter: float, min_length: float = 1e-3):
+    """(pos_var, yaw_var) accumulated over ``length`` meters of travel.
+
+    The reference models VIO drift as covariance proportional to distance
+    travelled (DroneTrajectory::covariance_between_appro_ts, consumed at
+    swarm_localization_solver.cpp:1505-1550; params vo_cov_pos_per_meter /
+    vo_cov_yaw_per_meter, loop-5-drone.launch:50-51). Works on python
+    floats, numpy arrays and jnp arrays alike.
+    """
+    import numpy as _np
+
+    import jax as _jax
+
+    mx = jnp.maximum if isinstance(
+        length, (_jax.Array, _jax.core.Tracer)) else _np.maximum
+    length = mx(length, min_length)
+    return cov_pos_per_meter * length, cov_yaw_per_meter * length
+
+
+def path_length_np(ts, positions, t0: float, t1: float) -> float:
+    """Path length along a sampled trajectory between the samples nearest
+    t0 and t1 (numpy host path; mirrors length_between)."""
+    import numpy as _np
+
+    if len(ts) == 0:
+        return 0.0
+    seg = _np.linalg.norm(_np.diff(positions, axis=0), axis=-1)
+    cum = _np.concatenate([[0.0], _np.cumsum(seg)])
+    i0 = int(_np.argmin(_np.abs(ts - t0)))
+    i1 = int(_np.argmin(_np.abs(ts - t1)))
+    return float(abs(cum[i1] - cum[i0]))
+
+
 def drift_covariance_between(
     traj: Trajectory,
     t0: jnp.ndarray,
@@ -106,13 +147,7 @@ def drift_covariance_between(
     travelled (covariance_between_appro_ts; params loop-5-drone.launch:50-51:
     vo_cov_pos_per_meter=0.002, vo_cov_yaw_per_meter=1e-4).
     """
-    length = jnp.maximum(length_between(traj, t0, t1), min_length)
-    diag = jnp.stack(
-        [
-            cov_pos_per_meter * length,
-            cov_pos_per_meter * length,
-            cov_pos_per_meter * length,
-            cov_yaw_per_meter * length,
-        ]
-    )
-    return jnp.diag(diag)
+    pv, yv = drift_variances(length_between(traj, t0, t1),
+                             cov_pos_per_meter, cov_yaw_per_meter,
+                             min_length)
+    return jnp.diag(jnp.stack([pv, pv, pv, yv]))

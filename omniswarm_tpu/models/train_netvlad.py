@@ -178,6 +178,25 @@ def device_render_views(places: jnp.ndarray, idx: jnp.ndarray,
     return v[..., None]
 
 
+def _save_resume(path: str, params, opt_state) -> None:
+    """Atomic full-precision (params, optimizer-state) snapshot."""
+    import os
+
+    leaves = jax.tree_util.tree_leaves((params, opt_state))
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **{f"leaf_{i}": np.asarray(x)
+                     for i, x in enumerate(leaves)})
+    os.replace(tmp, path)
+
+
+def _load_resume(path: str, params0, opt_state0):
+    """Inverse of _save_resume; shapes must match the fresh init."""
+    raw = np.load(path)
+    treedef = jax.tree_util.tree_structure((params0, opt_state0))
+    leaves = [raw[f"leaf_{i}"] for i in range(treedef.num_leaves)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def train_netvlad(*, steps: int = 600, places_per_batch: int = 16,
                   pool_size: int = 256, lr: float = 3e-4, seed: int = 0,
                   view: Tuple[int, int] = (96, 160), log_every: int = 50,
@@ -188,6 +207,7 @@ def train_netvlad(*, steps: int = 600, places_per_batch: int = 16,
                   revisit_offset: Optional[float] = None,
                   save_every: Optional[int] = None,
                   save_path: Optional[str] = None,
+                  resume_path: Optional[str] = None,
                   encoder_version: int = 1):
     """Train MobileNetVLAD (bundled architecture). Returns (params, history).
 
@@ -197,6 +217,11 @@ def train_netvlad(*, steps: int = 600, places_per_batch: int = 16,
     centers within f*(vh, vw) pixels of each other (loop-closure *revisit*
     semantics — overlapping content, full rotation/zoom/lighting jitter);
     without it centers are independent across the whole canvas.
+
+    ``resume_path``: sidecar .npz holding full-precision params AND the
+    optimizer state, written at every periodic checkpoint. A stall-relaunch
+    resuming from it keeps Adam momentum and avoids the f16 quantization of
+    the portable checkpoint (the f16 npz stays the deployment artifact).
     """
     import optax
 
@@ -217,6 +242,11 @@ def train_netvlad(*, steps: int = 600, places_per_batch: int = 16,
     else:
         tx = optax.adam(lr)
     opt_state = tx.init(params)
+    if resume_path is not None:
+        import os
+
+        if os.path.exists(resume_path):
+            params, opt_state = _load_resume(resume_path, params, opt_state)
 
     @jax.jit
     def step(params, opt_state, places, idx, key):
@@ -226,8 +256,15 @@ def train_netvlad(*, steps: int = 600, places_per_batch: int = 16,
         else:
             ph, pw = places.shape[1:]
             n = idx.shape[0]
-            ca = jax.random.uniform(
-                kc, (n, 2)) * jnp.asarray([ph, pw], jnp.float32)
+            # sample anchors WITHIN the rotation-safe margins (same band as
+            # device_render_views / retrieval_metrics) — uniform over the
+            # full canvas would clip ~85% of anchors onto the two boundary
+            # rows, collapsing the pair offset at the edges
+            my = min(0.5 * float(np.hypot(vh, vw)) + 2, (ph - 2) / 2.0)
+            mx = min(0.5 * float(np.hypot(vh, vw)) + 2, (pw - 2) / 2.0)
+            u = jax.random.uniform(kc, (n, 2))
+            ca = (jnp.asarray([my, mx], jnp.float32)
+                  + u * jnp.asarray([ph - 2 * my, pw - 2 * mx], jnp.float32))
             delta = jax.random.uniform(kd, (n, 2), minval=-1.0, maxval=1.0)
             cb = ca + delta * jnp.asarray(
                 [revisit_offset * vh, revisit_offset * vw], jnp.float32)
@@ -268,6 +305,8 @@ def train_netvlad(*, steps: int = 600, places_per_batch: int = 16,
             tmp = save_path + ".tmp.npz"
             save_netvlad_npz(params, tmp, encoder_version=encoder_version)
             os.replace(tmp, save_path)
+            if resume_path is not None:
+                _save_resume(resume_path, params, opt_state)
     return params, history
 
 

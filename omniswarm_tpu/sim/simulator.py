@@ -36,6 +36,11 @@ def delta_pose_np(a, b):
     return out
 
 
+def invert_pose_np(p):
+    """Inverse of a 4-DoF pose: invert_pose_np(p) ∘ p = identity."""
+    return delta_pose_np(p, np.zeros(np.shape(p)))
+
+
 def pose_mul_np(a, b):
     c, s = np.cos(a[..., 3]), np.sin(a[..., 3])
     out = np.empty(np.broadcast(a, b).shape[:-1] + (4,))

@@ -142,6 +142,71 @@ def bt_solve(A: jnp.ndarray, B: jnp.ndarray, rhs: jnp.ndarray, *,
 
 
 # ---------------------------------------------------------------------------
+# Frame packing: p frames -> one fat block
+# ---------------------------------------------------------------------------
+#
+# The cyclic-reduction levels are latency-bound at swarm block sizes: a
+# (t, 20, 20) level runs a fixed ~15-op chain whose per-op cost is dominated
+# by dispatch latency and (24, 128)-tile padding waste, so the factor stage
+# measured ~flat per LEVEL and the F=1024 window paid 8 levels of it
+# (4.7 ms — the r2 superlinear-window finding). Packing p consecutive
+# frames into one (p*m, p*m) block is a pure re-partition of the SAME
+# block-tridiagonal matrix: log2(p) fewer levels, blocks near the 128-lane
+# tile width, and all level plumbing amortized over p^2 x the payload.
+
+
+def pack_bt_mats(A: jnp.ndarray, B: jnp.ndarray,
+                 p: int) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+    """Re-partition (A (F, m, m), B (F-1, m, m)) into fat (p*m) blocks.
+
+    Returns (A' (F', pm, pm), B' (F'-1, pm, pm), F) with F' = ceil(F/p);
+    trailing pad frames carry identity diagonals (no coupling), exactly
+    like _pad_pow2.
+    """
+    F, m = A.shape[0], A.shape[1]
+    Fp = -(-F // p) * p
+    if Fp != F:
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=A.dtype), (Fp - F, m, m))
+        A = jnp.concatenate([A, eye], 0)
+    Bfull = jnp.zeros((Fp, m, m), A.dtype)
+    if B.shape[0] > 0:
+        Bfull = Bfull.at[: B.shape[0]].set(B)
+    K = Fp // p
+    A4 = A.reshape(K, p, m, m)
+    B4 = Bfull.reshape(K, p, m, m)              # B4[k, i] = B[p*k + i]
+    idx = jnp.arange(p)
+    blocks = jnp.zeros((K, p, p, m, m), A.dtype)
+    blocks = blocks.at[:, idx, idx].set(A4)
+    if p > 1:
+        blocks = blocks.at[:, idx[:-1], idx[:-1] + 1].set(B4[:, :-1])
+        blocks = blocks.at[:, idx[:-1] + 1, idx[:-1]].set(
+            jnp.swapaxes(B4[:, :-1], -1, -2))
+    Ap = blocks.transpose(0, 1, 3, 2, 4).reshape(K, p * m, p * m)
+    Bp = jnp.zeros((max(K - 1, 0), p, p, m, m), A.dtype)
+    if K > 1:
+        Bp = Bp.at[:, p - 1, 0].set(B4[:-1, p - 1])
+    Bp = Bp.transpose(0, 1, 3, 2, 4).reshape(max(K - 1, 0), p * m, p * m)
+    return Ap, Bp, F
+
+
+def pack_bt_cols(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    """(F, m, K) column stack -> (F', p*m, K); zero-padded trailing frames."""
+    F, m, K = x.shape
+    Fp = -(-F // p) * p
+    if Fp != F:
+        x = jnp.concatenate(
+            [x, jnp.zeros((Fp - F, m, K), x.dtype)], 0)
+    return x.reshape(Fp // p, p * m, K)
+
+
+def unpack_bt_cols(x: jnp.ndarray, p: int, F: int) -> jnp.ndarray:
+    """(F', p*m, K) -> (F, m, K)."""
+    Kp, pm, K = x.shape
+    m = pm // p
+    return x.reshape(Kp * p, m, K)[:F]
+
+
+# ---------------------------------------------------------------------------
 # Matmul-only path: Newton-Schulz block inverses + iterative refinement
 # ---------------------------------------------------------------------------
 #

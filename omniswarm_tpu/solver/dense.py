@@ -856,7 +856,8 @@ def assemble_blocks(graph: DenseGraph, poses: jnp.ndarray, *,
 
 
 @highp
-def _smw_solve_core(A, Boff, g, U, lam, warm=None, *, exact: bool = False):
+def _smw_solve_core(A, Boff, g, U, lam, warm=None, *, exact: bool = False,
+                    pack: int = 1):
     """Damped (T + U U^T) dx = -g via block-tridiag solve + Woodbury.
 
     exact=False (default, the LM fast path) runs the matmul-only
@@ -896,16 +897,39 @@ def _smw_solve_core(A, Boff, g, U, lam, warm=None, *, exact: bool = False):
         YU = Y[..., 1:]                                  # (F, m, C)
     else:
         from omniswarm_tpu.solver.block_tridiag import (
-            bt_apply, bt_factor, bt_warm_state)
+            bt_apply, bt_factor, bt_warm_state, pack_bt_cols, pack_bt_mats,
+            unpack_bt_cols)
 
-        fac = bt_factor(Ad, Boff, ns_iters=8, direct_threshold=4,
+        if pack > 1:
+            # fat-block re-partition: same matrix, log2(pack) fewer
+            # latency-bound reduction levels, near-lane-width blocks —
+            # the F>=512 single-chip windows were level-latency dominated
+            # (VERDICT r2 item 1; see block_tridiag.pack_bt_mats)
+            Adp, Bp, F_true = pack_bt_mats(Ad, Boff, pack)
+            gp = pack_bt_cols(g[..., None], pack)
+            Up = pack_bt_cols(U, pack)
+        else:
+            Adp, Bp, F_true = Ad, Boff, F
+            gp = g[..., None]
+            Up = U
+        # fat packed blocks contain a p-frame tridiagonal segment — worse
+        # conditioned, so the cold Newton-Schulz needs a deeper chain
+        # (measured: ns=8 stalls at 0.23 rel err at p=4; ns=10 reaches 5e-5)
+        fac = bt_factor(Adp, Bp, ns_iters=8 if pack == 1 else 12,
+                        direct_threshold=4,
                         warm=None if warm is None else warm[:2])
         # gradient column in f32; the C Woodbury columns sweep in bf16 —
         # they only feed S and the final correction, and the K-RHS sweep
         # is HBM-bandwidth-bound (halving bytes ~halves its time). The
         # S solve below accumulates in f32.
-        yb = bt_apply(fac, -g[..., None])[..., 0]
-        YU = bt_apply(fac, U.astype(jnp.bfloat16))       # stays bf16
+        yb_p = bt_apply(fac, -gp)
+        YU_p = bt_apply(fac, Up.astype(jnp.bfloat16))     # stays bf16
+        if pack > 1:
+            yb = unpack_bt_cols(yb_p, pack, F)[..., 0]
+            YU = unpack_bt_cols(YU_p, pack, F)
+        else:
+            yb = yb_p[..., 0]
+            YU = YU_p
     S = jnp.eye(C, dtype=A.dtype) + jnp.einsum(
         "fmc,fmd->cd", U.astype(YU.dtype), YU,
         preferred_element_type=A.dtype)
@@ -930,12 +954,21 @@ def _smw_solve_core(A, Boff, g, U, lam, warm=None, *, exact: bool = False):
     return dx.reshape(-1), warm_out
 
 
+def _auto_pack(F: int) -> int:
+    """Frames-per-block for the cyclic reduction. Large windows pay a
+    latency-bound level chain on thin (20, 20) blocks — pack 4 frames per
+    block from F>=384 (measured: F=1024 factor 4.7 ms -> level count -3,
+    lane-aligned 80-wide blocks)."""
+    return 4 if F >= 384 else 1
+
+
 def lm_solve_bt_impl(graph: DenseGraph, poses0: jnp.ndarray, *,
                      max_iterations: int = 100, huber_delta: float = 1.0,
                      det_sphere_std: float = 0.1,
                      det_inv_dep_std: float = 0.5,
                      function_tolerance: float = 1e-6,
-                     exact_linear: bool = False):
+                     exact_linear: bool = False,
+                     pack: Optional[int] = None):
     """LM with the block-tridiagonal + Woodbury linear solver.
 
     Per iteration: one cyclic-reduction factor-solve with (1 + 4L) RHS and
@@ -957,7 +990,9 @@ def lm_solve_bt_impl(graph: DenseGraph, poses0: jnp.ndarray, *,
         # the accept-select and state traffic on the largest array
         U0 = U0.astype(jnp.bfloat16)
 
-    smw_solve = functools.partial(_smw_solve_core, exact=exact_linear)
+    smw_solve = functools.partial(
+        _smw_solve_core, exact=exact_linear,
+        pack=_auto_pack(F) if pack is None else pack)
     lam0 = jnp.asarray(1e-4, poses0.dtype)
     # cold Newton-Schulz factor seeds the warm chain (dx discarded)
     _, warm0 = smw_solve(A0, B0, g0, U0, lam0, None)
@@ -995,7 +1030,8 @@ def lm_solve_bt_impl(graph: DenseGraph, poses0: jnp.ndarray, *,
 lm_solve_bt = jax.jit(
     lm_solve_bt_impl,
     static_argnames=("max_iterations", "huber_delta", "det_sphere_std",
-                     "det_inv_dep_std", "function_tolerance", "exact_linear"),
+                     "det_inv_dep_std", "function_tolerance", "exact_linear",
+                     "pack"),
 )
 
 
@@ -1005,7 +1041,8 @@ def lm_solve_bt_batched_impl(graph: DenseGraph, poses0_batch: jnp.ndarray,
                              det_sphere_std: float = 0.1,
                              det_inv_dep_std: float = 0.5,
                              function_tolerance: float = 1e-6,
-                             exact_linear: bool = False):
+                             exact_linear: bool = False,
+                             pack: Optional[int] = None):
     """Batch-native BT LM: B instances advance in lock-step.
 
     The while_loop itself is batch-agnostic — assembly and the
@@ -1034,12 +1071,14 @@ def lm_solve_bt_batched_impl(graph: DenseGraph, poses0_batch: jnp.ndarray,
     else:
         assemble = jax.vmap(functools.partial(base, graph))
 
+    pk = _auto_pack(F) if pack is None else pack
     smw_cold = jax.vmap(
         lambda a, b, g, u, l: _smw_solve_core(a, b, g, u, l, None,
-                                              exact=exact_linear))
+                                              exact=exact_linear, pack=pk))
     smw_warm = jax.vmap(
         lambda a, b, g, u, l, w: _smw_solve_core(a, b, g, u, l, w,
-                                                 exact=exact_linear))
+                                                 exact=exact_linear,
+                                                 pack=pk))
 
     A0, B0, g0, U0, cost0 = assemble(poses0_batch)
     if not exact_linear:
@@ -1087,7 +1126,8 @@ def lm_solve_bt_batched_impl(graph: DenseGraph, poses0_batch: jnp.ndarray,
 lm_solve_bt_batched = jax.jit(
     lm_solve_bt_batched_impl,
     static_argnames=("max_iterations", "huber_delta", "det_sphere_std",
-                     "det_inv_dep_std", "function_tolerance", "exact_linear"),
+                     "det_inv_dep_std", "function_tolerance", "exact_linear",
+                     "pack"),
 )
 
 
@@ -1144,6 +1184,14 @@ def pose_covariances(graph: DenseGraph, poses: jnp.ndarray,
     m4 = m4.at[..., 3].set(m4[..., 3] & ~graph.yaw_fixed)
     qmask = m4[query[:, 0], query[:, 1]].astype(out.dtype)   # (Q, 4)
     return out * qmask[:, :, None] * qmask[:, None, :]
+
+
+# jitted entry for production covariance queries (the estimator publishes
+# per-drone covariance with every fused output; eager dispatch of the
+# assembly would be one tunnel round trip per op on a remote TPU)
+pose_covariances_jit = jax.jit(
+    pose_covariances,
+    static_argnames=("huber_delta", "det_sphere_std", "det_inv_dep_std"))
 
 
 def dense_from_factor_graph(fg) -> Optional[DenseGraph]:

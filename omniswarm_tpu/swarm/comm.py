@@ -25,6 +25,7 @@ PCA floats; quantization keeps the same recall at 4x less bandwidth).
 from __future__ import annotations
 
 import heapq
+from collections import deque
 from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional, Tuple
 
@@ -218,7 +219,13 @@ class LoopNet:
         self.send_img = send_img
         self.send_whole_img_desc = send_whole_img_desc
         self.jpg_quality = jpg_quality
+        # sender-side dedup set, FIFO-bounded: the reference's sent_message
+        # grows forever over an hours-long flight (loop_net.cpp:221-237);
+        # capping at max_sent_keys keeps memory flat with identical behavior
+        # for any frame still inside the rebroadcast horizon.
+        self.max_sent_keys = 8192
         self.sent: set = set()
+        self._sent_order: deque = deque()
         self.blacklist: set = set()
         self._partial: Dict[Tuple[int, int], Dict] = {}
         self.recv_packets: Dict[int, int] = {}   # per-drone packet counts
@@ -235,6 +242,9 @@ class LoopNet:
         if key in self.sent:
             return                     # sender-side dedup (loop_net sent_message)
         self.sent.add(key)
+        self._sent_order.append(key)
+        while len(self._sent_order) > self.max_sent_keys:
+            self.sent.discard(self._sent_order.popleft())
         if self.send_img or self.send_whole_img_desc:
             # Whole-descriptor mode (loop_net.cpp:103-120): one packet on
             # SWARM_LOOP_IMG_DES, with the JPEG image iff send_img.

@@ -241,6 +241,60 @@ def decode_fused_state(buf: bytes) -> FusedStatePacket:
                              yaw / 1000.0]))
 
 
+# --------------------------------------------------------------------------
+# Visual detection narrowband packet
+# --------------------------------------------------------------------------
+
+# ts_ms i32 | source u8 | remote u16 | det_id i32 | rel pos 3h (cm)
+# | rel yaw h (mrad) | stds 4H (pos mm, yaw mrad)
+_DET_FMT = struct.Struct("<iBH i3hh4H")
+
+
+@dataclass
+class NodeDetectedPacket:
+    """Fixed-point visual drone-detection relay for the narrowband radio.
+
+    Counterpart of send_node_detected/parse_node_detected
+    (localization_proxy.cpp:204-235): a no-WiFi swarm shares visual
+    detections over UWB. The reference packs ts, ids, xyz+yaw floats and 4
+    covariance diagonals; here position is cm int16 (±327 m), yaw mrad, and
+    the std diagonals are mm/mrad uint16 — 27 bytes vs the reference's ~40.
+    ``remote_drone_id`` may be an anonymous id (>=1000, solver.cpp:898-916).
+    """
+
+    t: float
+    source_id: int                 # detecting drone
+    remote_drone_id: int           # detected drone (possibly anonymous)
+    detection_id: int
+    rel_pos: np.ndarray            # (3,) meters, detector frame
+    rel_yaw: float                 # rad
+    pos_std: np.ndarray            # (3,) meters (sqrt of cov diagonal)
+    yaw_std: float                 # rad
+
+
+def encode_node_detected(p: NodeDetectedPacket) -> bytes:
+    cm = np.clip(np.asarray(p.rel_pos) * 100, -32768, 32767)
+    std_mm = np.clip(np.asarray(p.pos_std) * 1000, 0, 0xFFFF)
+    return _DET_FMT.pack(
+        int(p.t * 1000), p.source_id, p.remote_drone_id, p.detection_id,
+        int(cm[0]), int(cm[1]), int(cm[2]),
+        int(np.clip(p.rel_yaw * 1000, -32768, 32767)),
+        int(std_mm[0]), int(std_mm[1]), int(std_mm[2]),
+        int(np.clip(p.yaw_std * 1000, 0, 0xFFFF)))
+
+
+def decode_node_detected(buf: bytes) -> NodeDetectedPacket:
+    (ts_ms, src, rem, det_id, x, y, z, yaw,
+     sx, sy, sz, syaw) = _DET_FMT.unpack(buf)
+    return NodeDetectedPacket(
+        t=ts_ms / 1000.0, source_id=src, remote_drone_id=rem,
+        detection_id=det_id,
+        rel_pos=np.asarray([x, y, z], float) / 100.0,
+        rel_yaw=yaw / 1000.0,
+        pos_std=np.asarray([sx, sy, sz], float) / 1000.0,
+        yaw_std=syaw / 1000.0)
+
+
 class FusedDownlink:
     """Round-robin throttled broadcaster of fused relative states.
 

@@ -46,7 +46,9 @@ def test_superpoint_bf16_trunk_matches_f32():
     for b in range(imgs.shape[0]):
         a = np.asarray(xy32[b])[np.asarray(v32[b])]
         c = np.asarray(xy16[b])[np.asarray(v16[b])]
-        if len(a) == 0:
+        if len(a) == 0 or len(c) == 0:
+            # bf16 must not silently drop every keypoint f32 found
+            assert len(a) == len(c) == 0, (b, len(a), len(c))
             continue
         d = np.linalg.norm(a[:, None] - c[None], axis=-1)
         matched = (d.min(axis=1) < 1.0).mean()

@@ -139,3 +139,57 @@ def test_loop_dedup_and_stale_pruning():
     assert len(est._loop_keys) == 0
     # ego histories also trimmed
     assert est.ego[0][0][0] >= est.window[0].t - 2.0
+
+
+def test_same_pair_loops_averaged():
+    """K loops joining the same keyframe pair fuse into ONE factor whose
+    strength is ~that of a single measurement, not K of them
+    (average_same_loop parity, solver.cpp:1555-1592 — see
+    estimator._average_same_pair for the deliberate cov semantics)."""
+    from omniswarm_tpu.sim.simulator import invert_pose_np
+    from omniswarm_tpu.swarm.estimator import _average_same_pair
+
+    fwd1 = np.array([1.0, 0.0, 0.0, 0.10])
+    fwd2 = np.array([1.2, 0.0, 0.0, 0.12])
+    mid = np.array([1.1, 0.0, 0.0, 0.11])
+    anchored = [
+        (0, 0, 5, 1, fwd1, 0.1, 0.05),
+        (0, 0, 5, 1, fwd2, 0.1, 0.05),
+        # same physical pair, stored in the reverse orientation
+        (5, 1, 0, 0, invert_pose_np(mid), 0.1, 0.05),
+    ]
+    out = _average_same_pair(anchored)
+    assert len(out) == 1
+    fa, da, fb, db, dp, ps, ys = out[0]
+    assert (fa, da, fb, db) == (0, 0, 5, 1)
+    np.testing.assert_allclose(dp, mid, atol=1e-6)
+    # equal weights: combined std equals the single-measurement std —
+    # duplicate evidence must NOT tighten the pair sqrt(K)-fold
+    assert abs(ps - 0.1) < 1e-9 and abs(ys - 0.05) < 1e-9
+    # distinct pairs stay untouched and ordered
+    anchored.append((2, 0, 7, 1, fwd1, 0.2, 0.1))
+    out2 = _average_same_pair(anchored)
+    assert len(out2) == 2 and out2[1][:4] == (2, 0, 7, 1)
+
+
+def test_duplicate_loops_do_not_tighten_estimate():
+    """End-to-end: rebroadcasting the same loop K times with jittered
+    timestamps (so the pair-canonical dedup can't catch it) yields the
+    same number of solver loop factors as one loop."""
+    data = sim.generate(sim.SimParams(num_drones=3, num_frames=20, seed=5,
+                                      loop_every=50))
+    base = SolverParams(self_id=0, pcm_enable=False)
+
+    def build_with_dup(k):
+        est = SwarmEstimator(base)
+        feed_sim(est, data, 20)
+        for j in range(k):
+            est.on_loop(LoopRecord(
+                t_a=float(data.times[2]) + 0.03 * j, drone_a=0,
+                t_b=float(data.times[10]), drone_b=1,
+                dpose=np.array([1.0, 0.5, 0.0, 0.1]) + 0.01 * j,
+                pos_std=0.05, yaw_std=0.02))
+        graph, _, _ = est._build()
+        return int(np.asarray(graph.loops.valid).sum())
+
+    assert build_with_dup(4) == build_with_dup(1)

@@ -131,3 +131,25 @@ def test_fused_downlink_round_robin():
     # throttled to ~10 Hz over 1 s → ~10 packets, alternating drones
     assert 8 <= len(sent) <= 12, len(sent)
     assert set(sent) == {1, 2}
+
+
+def test_node_detected_codec_roundtrip():
+    """node_detected narrowband packet (localization_proxy.cpp:204-235)."""
+    from omniswarm_tpu.swarm.proxy import (NodeDetectedPacket,
+                                           decode_node_detected,
+                                           encode_node_detected)
+
+    p = NodeDetectedPacket(
+        t=12.345, source_id=3, remote_drone_id=1002, detection_id=77,
+        rel_pos=np.array([1.23, -4.56, 0.78]), rel_yaw=-0.514,
+        pos_std=np.array([0.05, 0.05, 0.12]), yaw_std=0.03)
+    buf = encode_node_detected(p)
+    assert len(buf) == 27
+    q = decode_node_detected(buf)
+    assert q.source_id == 3 and q.remote_drone_id == 1002
+    assert q.detection_id == 77
+    assert abs(q.t - 12.345) < 1e-6
+    np.testing.assert_allclose(q.rel_pos, p.rel_pos, atol=0.01)
+    assert abs(q.rel_yaw - p.rel_yaw) < 1e-3
+    np.testing.assert_allclose(q.pos_std, p.pos_std, atol=1e-3)
+    assert abs(q.yaw_std - p.yaw_std) < 1e-3

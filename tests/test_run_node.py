@@ -63,3 +63,85 @@ solver: {init_z_movement: 0.05, pcm_redundant: true, max_iterations: 40,
     assert predicts, "no prediction outputs emitted"
     # predictions carry all drones
     assert len(predicts[-1]["poses"]) == 3
+
+
+@pytest.mark.slow
+def test_run_node_soak_memory_and_cadence(tmp_path):
+    """Long-run soak (VERDICT r2 item 9): thousands of frames through the
+    production node; asserts flat memory (bounded record stores) and a
+    sustained solve cadence to the end of the run."""
+    import resource
+
+    D = 3
+    frames = 2500
+    rng = np.random.default_rng(3)
+    cfgp = tmp_path / "cfg.yaml"
+    cfgp.write_text("""
+self_id: 0
+solver: {init_z_movement: 0.05, pcm_redundant: true, max_iterations: 15,
+         force_freq: 0.5, max_frame_number: 40, publish_covariance: false}
+""")
+    # synthetic circular trajectories with mild noise (cheap to generate at
+    # this length; realism is irrelevant to the hygiene assertions)
+    t_ = np.arange(frames) * 0.5
+    gt = np.zeros((frames, D, 4), np.float32)
+    for d in range(D):
+        th = 0.2 * t_ + 2.1 * d
+        gt[:, d, 0] = 3.0 * np.cos(th)
+        gt[:, d, 1] = 3.0 * np.sin(th)
+        gt[:, d, 2] = 1.0 + 0.3 * d
+        gt[:, d, 3] = np.unwrap(th + np.pi / 2) % (2 * np.pi) - np.pi
+    vio = gt + rng.normal(0, 0.01, gt.shape).astype(np.float32)
+    lines = []
+    for k in range(frames):
+        t = float(t_[k])
+        vio_k = {str(d): [float(x) for x in vio[k, d]] for d in range(D)}
+        ranges = []
+        for a in range(D):
+            for b in range(D):
+                if a != b:
+                    dist = float(np.linalg.norm(gt[k, a, :3] - gt[k, b, :3]))
+                    ranges.append([a, b, dist + float(rng.normal(0, 0.05))])
+        lines.append(json.dumps(
+            {"type": "frame", "t": t, "vio": vio_k, "ranges": ranges}))
+        lines.append(json.dumps(
+            {"type": "vio", "t": t,
+             "pose": [float(x) for x in vio[k, 0]]}))
+    lines.append(json.dumps({"type": "quit"}))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-c", f"""
+import json, resource, sys, threading, time
+sys.argv = ['run_node.py', '--config', {str(cfgp)!r}, '--no-udp']
+sys.path.insert(0, {REPO!r})
+peaks = []
+def sample():
+    while True:
+        time.sleep(2.0)
+        peaks.append(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)
+threading.Thread(target=sample, daemon=True).start()
+import runpy
+runpy.run_path({os.path.join(REPO, 'tools', 'run_node.py')!r},
+               run_name='__main__')
+print(json.dumps({{'type': 'rss_peaks', 'peaks': peaks}}))
+"""],
+        input="\n".join(lines), capture_output=True, text=True,
+        timeout=1800, env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    outs = [json.loads(l) for l in proc.stdout.splitlines() if l.strip()]
+    solves = [o for o in outs if o.get("type") == "solve"
+              and o.get("solved")]
+    # sustained cadence: solves keep landing through the LAST tenth of the
+    # replay (a stalled/leaking node stops solving long before the end)
+    assert len(solves) > 50, len(solves)
+    t_last = max(o["t"] for o in solves)
+    assert t_last >= t_[-1] * 0.9, (t_last, t_[-1])
+    # flat memory: compare RSS midway (after jit warmup) to the end; a
+    # leaking record store grows by tens of MB over thousands of frames
+    peaks = [o for o in outs if o.get("type") == "rss_peaks"][0]["peaks"]
+    assert len(peaks) > 10, len(peaks)
+    mid = peaks[len(peaks) // 2]
+    end = peaks[-1]
+    growth_mb = (end - mid) / 1024.0
+    assert growth_mb < 60.0, (mid, end, growth_mb)

@@ -23,8 +23,12 @@ PAT=$1; shift
 PROBATION=$1; shift
 STALL=$1; shift
 CHECKS=$(( (PROBATION + 29) / 30 ))
+# the stall watchdog keys on LOG mtime — python block-buffers stdout when
+# redirected, which would freeze the mtime on a healthy job
+export PYTHONUNBUFFERED=1
 for attempt in $(seq 1 8); do
-  rm -f "$LOG"
+  # preserve the previous attempt's output (crash diagnostics)
+  [ -f "$LOG" ] && mv -f "$LOG" "$LOG.prev"
   "$@" > "$LOG" 2>&1 &
   PID=$!
   ok=0
@@ -45,7 +49,12 @@ for attempt in $(seq 1 8); do
     done
     if [ $stalled -eq 0 ]; then
       wait "$PID"
-      echo "attempt $attempt: exited rc=$?" >> "$LOG.status"
+      rc=$?
+      echo "attempt $attempt: exited rc=$rc" >> "$LOG.status"
+      if [ "$rc" -ne 0 ]; then
+        # crash after healthy progress: retry (commands are resumable)
+        continue
+      fi
       exit 0
     fi
     echo "attempt $attempt: stalled ${STALL}s mid-run, killing $PID" \

@@ -57,10 +57,22 @@ def main():
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     resume = args.resume
-    if args.continue_out and os.path.exists(args.out):
-        resume = args.out
-        print(f"resuming from existing {args.out}", flush=True)
+    resume_path = None
+    if args.continue_out:
+        # full-precision sidecar keeps Adam state across stall relaunches;
+        # the f16 npz stays the portable artifact. Prefer the sidecar (it
+        # was written atomically together with the f16 checkpoint).
+        resume_path = args.out + ".resume.npz"
+        if os.path.exists(resume_path):
+            print(f"resuming from {resume_path} (f32 + opt state)",
+                  flush=True)
+            resume = args.out if os.path.exists(args.out) else None
+        elif os.path.exists(args.out):
+            resume = args.out
+            print(f"resuming from existing {args.out}", flush=True)
     arch = netvlad_meta(resume)["encoder_version"] if resume else args.arch
+    # when the f32 sidecar exists train_netvlad overrides these params with
+    # it; the f16 load only seeds arch-matched shapes for tree_unflatten
     params = load_netvlad_npz(resume) if resume else None
     params, history = train_netvlad(
         steps=args.steps, places_per_batch=args.places, pool_size=args.pool,
@@ -69,7 +81,7 @@ def main():
         max_rot=args.max_rot, noise=args.noise, scale=tuple(args.scale),
         cosine=args.cosine, verbose=True, revisit_offset=args.revisit,
         save_every=args.save_every or None, save_path=args.out,
-        encoder_version=arch)
+        resume_path=resume_path, encoder_version=arch)
     m = retrieval_metrics(params, encoder_version=arch)
     print(f"eval(easy 64-way): recall@1 {m['recall_at_1']:.3f} "
           f"margin {m['mean_margin']:.3f}", flush=True)
