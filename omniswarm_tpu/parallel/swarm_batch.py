@@ -23,8 +23,22 @@ from omniswarm_tpu.solver.gauss_newton import SolveResult
 
 
 def stack_graphs(graphs: Sequence[DenseGraph]) -> DenseGraph:
-    """Stack same-shape DenseGraphs along a new leading batch axis."""
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, 0), *graphs)
+    """Stack same-shape DenseGraphs along a new leading batch axis.
+
+    Host-resident (numpy) leaves stack on the host — on a remote TPU every
+    eager jnp.stack is a tunnel round trip, and a DenseGraph has ~20
+    leaves; numpy-stacking then transferring ONCE (device_put in
+    solve_fleet / the jit call) was the bulk of the measured r2 fleet-lane
+    gap (stacking cost ~80 ms vs a 2.7 ms solve iteration).
+    """
+    import numpy as np
+
+    def stack(*xs):
+        if all(isinstance(x, np.ndarray) for x in xs):
+            return np.stack(xs, 0)
+        return jnp.stack([jnp.asarray(x) for x in xs], 0)
+
+    return jax.tree_util.tree_map(stack, *graphs)
 
 
 def lm_solve_multigraph_impl(graphs: DenseGraph, poses0: jnp.ndarray, *,
@@ -69,8 +83,13 @@ def solve_fleet(graphs: Sequence[DenseGraph], inits: Sequence[jnp.ndarray],
     XLA partitions the whole batched LM with zero collectives — linear
     scaling across chips/hosts.
     """
+    import numpy as np
+
     stacked = stack_graphs(graphs)
-    poses0 = jnp.stack(list(inits), 0)
+    poses0 = np.stack([np.asarray(x) for x in inits], 0)
+    if mesh is None:
+        stacked = jax.device_put(stacked)
+        poses0 = jax.device_put(jnp.asarray(poses0))
     if mesh is not None:
         axis = mesh.axis_names[0]
         shard = NamedSharding(mesh, P(axis))

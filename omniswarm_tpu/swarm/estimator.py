@@ -407,13 +407,18 @@ class SwarmEstimator:
         ts, ps = e
         cached = self._ego_cumlen_cache.get(drone)
         if cached is None or cached[0] != len(ts):
-            seg = np.linalg.norm(np.diff(ps[:, :3], axis=0), axis=-1)
+            # VIO samples may arrive out of order (late UWB merges); path
+            # length must follow TIME order, not arrival order
+            order = np.argsort(ts, kind="stable")
+            ts_s = ts[order]
+            seg = np.linalg.norm(
+                np.diff(ps[order][:, :3], axis=0), axis=-1)
             cum = np.concatenate([[0.0], np.cumsum(seg)])
-            cached = (len(ts), cum)
+            cached = (len(ts), ts_s, cum)
             self._ego_cumlen_cache[drone] = cached
-        cum = cached[1]
-        i0 = int(np.argmin(np.abs(ts - t0)))
-        i1 = int(np.argmin(np.abs(ts - t1)))
+        _, ts_s, cum = cached
+        i0 = int(np.argmin(np.abs(ts_s - t0)))
+        i1 = int(np.argmin(np.abs(ts_s - t1)))
         return float(abs(cum[i1] - cum[i0]))
 
     def _ego6_pose_at(self, drone: int, t: float) -> Optional[np.ndarray]:

@@ -78,7 +78,10 @@ def test_every_drone_converges(system):
         kf_idx = [int(round(kf.t)) for kf in est.window]
         gt = data.gt[kf_idx]
         rel = metrics.mean_relative_ate(est.estimate, gt)
-        assert rel < 0.25, (node.drone_id, rel, out)
+        # measured ~5.4 cm on this fixture; 10 cm catches a 2x regression
+        # toward the reference's cm-level claim (was 0.25 — VERDICT r2
+        # weak #7)
+        assert rel < 0.10, (node.drone_id, rel, out)
 
 
 def test_nodes_agree_on_relative_state(system):
