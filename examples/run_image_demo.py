@@ -84,6 +84,7 @@ def main():
 
     n_kf = 0
     fe_time = 0.0
+    fe_views = 0
     kf_steps = []
     for k in range(F):
         t = float(data.times[k])
@@ -103,7 +104,10 @@ def main():
                 t0_fe = _time.perf_counter()
                 kf = cams[d].on_fisheye_frame(
                     d, k, t, data.vio[k, d], pairs)
-                fe_time += _time.perf_counter() - t0_fe
+                # first keyframes pay the XLA compiles; time steady state
+                if n_kf >= 2 * D:
+                    fe_time += _time.perf_counter() - t0_fe
+                    fe_views += 4
                 node.on_local_keyframe(kf, t)
                 n_kf += 1
         bus.step(t + 0.01)
@@ -161,11 +165,12 @@ def main():
     covered = len(opps & found_pairs)
     recall = covered / max(len(opps), 1)
     precision = n_true / max(n_true + n_false, 1)
-    views_per_s = n_kf * 4 / max(fe_time, 1e-9)
+    views_per_s = fe_views / max(fe_time, 1e-9)
     print(f"loops: {len(uniq)} unique, {n_true} true / {n_false} false "
           f"(precision {precision:.3f}); recall {recall:.3f} "
           f"({covered}/{len(opps)} revisit opportunities); "
-          f"front-end {views_per_s:.0f} views/s")
+          f"front-end {views_per_s:.1f} views/s (per-event incl. "
+          f"match+verify; batched ceiling in bench.py)")
 
     per_drone = []
     ok = True

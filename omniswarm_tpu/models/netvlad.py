@@ -172,7 +172,11 @@ class GlobalDescriptorExtractor:
         return self._apply(self.params, images)
 
 
-DEFAULT_WEIGHTS = "weights/netvlad_synthetic.npz"
+# v2 GroupNorm encoder trained with the revisit curriculum (24k steps,
+# rot +/-0.5 rad, 0.8-1.25x zoom, noise 0.06): easy 64-way recall@1 0.750,
+# hard 256-way revisit recall@1 0.742 — NETVLAD_EVAL.json. The r2 v1
+# checkpoint remains at weights/netvlad_synthetic.npz.
+DEFAULT_WEIGHTS = "weights/netvlad_v2_revisit.npz"
 
 # bundled checkpoint architecture: K*C = 8*512 = 4096 = out_dim, no proj
 BUNDLED_CLUSTERS = 8

@@ -276,7 +276,12 @@ class SwarmEstimator:
                 i = 0
             del self.window[i]
             self._window_gen += 1
-            if self.estimate is not None:
+            # the window can outgrow the last solve's estimate while a
+            # threaded solve is in flight (finalize slices to the snapshot
+            # length) — an eviction index past the estimate just ages out
+            # frames the estimate never covered (caught by the run_node
+            # soak test: np.delete(estimate, 19) on a 19-row estimate)
+            if self.estimate is not None and i < len(self.estimate):
                 self.estimate = np.delete(self.estimate, i, axis=0)
 
     def on_loop(self, loop: LoopRecord) -> None:

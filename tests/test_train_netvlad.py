@@ -72,3 +72,25 @@ def test_pretrained_netvlad_retrieval():
     # 12-way retrieval: chance is 0.083; the trained checkpoint must do
     # far better (measured ~0.9 at this gallery size)
     assert recall1 >= 0.5, recall1
+
+
+def test_bundled_v2_hard_revisit_recall_pinned():
+    """The shipped v2 checkpoint's hard-revisit quality is regression-pinned
+    (VERDICT r2 item 5; full numbers in NETVLAD_EVAL.json: easy 64-way
+    0.750, hard 256-way 0.742). 96-way here keeps CPU runtime ~10 s;
+    measured 0.781 at pin time."""
+    import os
+
+    from omniswarm_tpu.models.netvlad import load_netvlad_npz, netvlad_meta
+    from omniswarm_tpu.models.train_netvlad import retrieval_metrics
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                        "omniswarm_tpu", "models", "weights",
+                        "netvlad_v2_revisit.npz")
+    assert netvlad_meta(path)["encoder_version"] == 2
+    params = load_netvlad_npz(path)
+    m = retrieval_metrics(params, n_places=96, max_rot=0.5, noise=0.06,
+                          scale=(0.8, 1.25), revisit_offset=0.35,
+                          encoder_version=2)
+    assert m["recall_at_1"] >= 0.65, m
+    assert m["mean_margin"] > 0.05, m
