@@ -86,11 +86,18 @@ class LocalProxy:
 
     def __init__(self, self_id: int, *, queue_size: int = 10,
                  match_tolerance: float = 0.1,
-                 on_frame: Optional[Callable[[SwarmFrame], None]] = None):
+                 on_frame: Optional[Callable[[SwarmFrame], None]] = None,
+                 on_detection: Optional[Callable] = None,
+                 on_fused: Optional[Callable] = None):
         self.self_id = self_id
         self.queue_size = queue_size
         self.match_tolerance = match_tolerance
         self.on_frame = on_frame
+        # callbacks for the non-frame radio families: visual detections
+        # relayed over UWB (send_node_detected/parse_node_detected,
+        # localization_proxy.cpp:204-235) and peer fused-state downlinks
+        self.on_detection = on_detection
+        self.on_fused = on_fused
         self.queue: List[SwarmFrame] = []
         self.self_odom: Optional[Tuple[float, np.ndarray, np.ndarray]] = None
 
@@ -144,6 +151,34 @@ class LocalProxy:
         for peer, d in info.distances.items():
             best.ranges[(info.drone_id, peer)] = d
         return True
+
+    def broadcast_detection(self, det: "NodeDetectedPacket") -> bytes:
+        """Frame a visual detection for the narrowband radio."""
+        return frame_packet(PACKET_DETECTED, encode_node_detected(det))
+
+    def framed_uwb_tick(self, t: float,
+                        distances: Dict[int, float]) -> bytes:
+        """on_uwb_tick with the type-byte radio framing applied."""
+        return frame_packet(PACKET_REALTIME, self.on_uwb_tick(t, distances))
+
+    def on_radio_packet(self, buf: bytes) -> bool:
+        """Dispatch one framed narrowband datagram by its type byte."""
+        ptype, payload = parse_packet(buf)
+        if ptype == PACKET_REALTIME:
+            return self.on_remote_packet(payload)
+        if ptype == PACKET_DETECTED:
+            det = decode_node_detected(payload)
+            if det.source_id != self.self_id and self.on_detection:
+                self.on_detection(det)
+                return True
+            return False
+        if ptype == PACKET_FUSED:
+            fs = decode_fused_state(payload)
+            if fs.ref_drone != self.self_id and self.on_fused:
+                self.on_fused(fs)
+                return True
+            return False
+        return False
 
     def flush(self) -> List[SwarmFrame]:
         """Release all queued frames (end of session / timer flush)."""
@@ -239,6 +274,25 @@ def decode_fused_state(buf: bytes) -> FusedStatePacket:
         drone_id=d, ref_drone=r, t=ts_ms / 1000.0,
         rel_pose=np.asarray([x / 1000.0, y / 1000.0, z / 1000.0,
                              yaw / 1000.0]))
+
+
+# --------------------------------------------------------------------------
+# Radio framing: one type byte in front of each fixed-point payload, so a
+# single narrowband channel carries all packet families (the reference
+# multiplexes MAVLink message ids over the UWB radio the same way).
+# --------------------------------------------------------------------------
+
+PACKET_REALTIME = 0x01       # NodeRealtimeInfo (odometry + ranges)
+PACKET_FUSED = 0x02          # FusedStatePacket downlink
+PACKET_DETECTED = 0x03       # NodeDetectedPacket visual detection
+
+
+def frame_packet(ptype: int, payload: bytes) -> bytes:
+    return bytes([ptype]) + payload
+
+
+def parse_packet(buf: bytes) -> Tuple[int, bytes]:
+    return buf[0], buf[1:]
 
 
 # --------------------------------------------------------------------------

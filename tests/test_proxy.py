@@ -153,3 +153,41 @@ def test_node_detected_codec_roundtrip():
     assert abs(q.rel_yaw - p.rel_yaw) < 1e-3
     np.testing.assert_allclose(q.pos_std, p.pos_std, atol=1e-3)
     assert abs(q.yaw_std - p.yaw_std) < 1e-3
+
+
+def test_radio_framing_dispatch():
+    """Framed narrowband channel carries all three packet families
+    (the reference multiplexes MAVLink ids over UWB the same way)."""
+    from omniswarm_tpu.swarm.proxy import (NodeDetectedPacket,
+                                           FusedStatePacket, LocalProxy,
+                                           encode_fused_state, frame_packet,
+                                           PACKET_FUSED)
+
+    got_det, got_fused, got_frames = [], [], []
+    a = LocalProxy(0)
+    b = LocalProxy(1, on_detection=got_det.append, on_fused=got_fused.append,
+                   on_frame=got_frames.append)
+
+    # realtime (odometry+ranges) round trip through the framed channel
+    a.on_self_odometry(1.0, np.array([1.0, 2.0, 3.0, 0.2]),
+                       np.array([0.1, 0, 0]))
+    pkt = a.framed_uwb_tick(1.0, {1: 4.2})
+    b.on_uwb_tick(1.0, {0: 4.2})
+    assert b.on_radio_packet(pkt)           # merged into b's queue
+
+    # visual detection relay
+    det = NodeDetectedPacket(
+        t=1.5, source_id=0, remote_drone_id=1001, detection_id=3,
+        rel_pos=np.array([0.5, -0.2, 0.1]), rel_yaw=0.1,
+        pos_std=np.array([0.05, 0.05, 0.1]), yaw_std=0.02)
+    assert b.on_radio_packet(a.broadcast_detection(det))
+    assert len(got_det) == 1 and got_det[0].remote_drone_id == 1001
+    # own detections are not echoed back
+    assert not a.on_radio_packet(a.broadcast_detection(det))
+
+    # fused-state downlink
+    fs = FusedStatePacket(drone_id=2, ref_drone=0, t=2.0,
+                          rel_pose=np.array([1.0, 0, 0, 0.1]))
+    assert b.on_radio_packet(frame_packet(PACKET_FUSED,
+                                          encode_fused_state(fs)))
+    assert len(got_fused) == 1 and got_fused[0].drone_id == 2

@@ -152,6 +152,32 @@ def main():
                       for a, b, v in msg.get("ranges", [])}
             with est_lock:
                 estimator.on_swarm_frame(t, vio, ranges)
+        elif kind == "det":
+            # visual drone detection from an external detector process
+            # (swarm_detector role); ingested locally AND framed for the
+            # narrowband radio (send_node_detected parity)
+            from omniswarm_tpu.swarm.estimator import DetRecord
+            from omniswarm_tpu.swarm.proxy import NodeDetectedPacket
+
+            direction = np.asarray(msg["direction"], float)
+            inv_dep = float(msg.get("inv_dep", 0.0))
+            with est_lock:
+                estimator.on_detection(DetRecord(
+                    t=t, drone_a=int(msg.get("source", self_id)),
+                    drone_b=int(msg["target"]), direction=direction,
+                    inv_dep=inv_dep,
+                    enable_depth=bool(msg.get("enable_depth", True))))
+            if inv_dep > 1e-6:
+                pkt = proxy.broadcast_detection(NodeDetectedPacket(
+                    t=t, source_id=self_id,
+                    remote_drone_id=int(msg["target"]),
+                    detection_id=int(msg.get("id", 0)),
+                    rel_pos=direction / inv_dep,
+                    rel_yaw=float(msg.get("rel_yaw", 0.0)),
+                    pos_std=np.asarray(msg.get("pos_std", [0.1, 0.1, 0.1]),
+                                       float),
+                    yaw_std=float(msg.get("yaw_std", 0.1))))
+                _ = pkt  # would go to the narrowband radio driver
         elif kind == "quit":
             break
 
