@@ -220,6 +220,24 @@ def main():
 
     prog("kf1024 done")
     try:
+        # 10-drone swarm tier (simulator.launch drone_num cap): m=40 blocks
+        d10 = sim.generate(sim.SimParams(num_drones=10, num_frames=100,
+                                         seed=3))
+        g10 = jax.device_put(dense_graph_from_sim(d10))
+        i10 = jnp.asarray(d10.vio, jnp.float32)
+        r10 = lm_solve_bt(g10, i10, max_iterations=50,
+                          function_tolerance=0.0)
+        jax.block_until_ready(r10.poses)
+        assert np.isfinite(float(r10.cost))
+        dt10, _ = _median_time(
+            lambda: lm_solve_bt(g10, i10, max_iterations=50,
+                                function_tolerance=0.0).poses, reps=3)
+        extras["d10_iter_per_s"] = round(int(r10.iterations) / dt10, 2)
+    except Exception as e:                      # pragma: no cover
+        extras["d10_error"] = str(e)[:200]
+
+    prog("d10 done")
+    try:
         from omniswarm_tpu.parallel.swarm_batch import (lm_solve_multigraph,
                                                         stack_graphs)
 

@@ -79,11 +79,19 @@ def replay_dataset(
     vio_yaw_drift_per_step: float = 0.002,
     uwb_noise_std: float = 0.1,
     seed: int = 0,
+    synth_loops: bool = False,
+    loop_every: int = 5,
+    loop_max_distance: float = 3.0,
 ) -> SimData:
     """Build a SimData from real flight logs, one (path, t_offset) per drone.
 
     Drones are spread on a line with ``spacing`` so ranges are informative
     even when the logs overlap in space.
+
+    ``synth_loops``: emulate place recognition over the real trajectories
+    the way the reference's simulator does (proximity-gated GT query,
+    swarm_local_sim.cpp:474-529) — its bag replay carries recorded loop
+    edges; the CSV logs predate the visual front-end.
     """
     rng = np.random.default_rng(seed)
     D = len(logs)
@@ -117,6 +125,12 @@ def replay_dataset(
                        vio_pos_drift_per_step=vio_pos_drift_per_step,
                        vio_yaw_drift_per_step=vio_yaw_drift_per_step,
                        uwb_noise_std=uwb_noise_std)
+    loops = []
+    if synth_loops:
+        from omniswarm_tpu.sim.simulator import proximity_loops
+
+        loops = proximity_loops(gt, rng, loop_every=loop_every,
+                                loop_max_distance=loop_max_distance)
     return SimData(params=params, times=np.arange(num_frames) * dt, gt=gt,
                    vio=vio, ranges=ranges, range_valid=range_valid,
-                   loops=[], detections=[])
+                   loops=loops, detections=[])

@@ -119,6 +119,49 @@ class SimData:
     detections: List[DetMeas] = field(default_factory=list)
 
 
+def proximity_loops(gt, rng, *, loop_every: int = 5,
+                    loop_max_distance: float = 2.0,
+                    loop_outlier_rate: float = 0.0,
+                    loop_outlier_mag: float = 3.0,
+                    loop_pos_std: float = 0.05,
+                    loop_yaw_std: float = 0.02) -> List[LoopMeas]:
+    """Proximity-gated fake place recognition over (F, D, 4) GT poses.
+
+    swarm_local_sim.cpp:474-529 queries a faiss L2 index of GT positions
+    with a MATCH_INDEX_DIST recency guard; emulated directly. Reused by
+    sim.generate AND the real-flight-log replay tier (io/flightlog.py) —
+    the reference's bag replay carries recorded loop edges; CSV logs don't,
+    so the replay synthesizes them the same way its simulator does.
+    """
+    F, D = gt.shape[:2]
+    loops: List[LoopMeas] = []
+    for k in range(0, F, loop_every):
+        for da in range(D):
+            # candidate: any earlier keyframe of any drone within gate
+            best = None
+            for kb in range(0, k + 1):
+                for db in range(D):
+                    if db == da and abs(kb - k) < 3:  # MATCH_INDEX_DIST
+                        continue
+                    dist = np.linalg.norm(gt[k, da, :3] - gt[kb, db, :3])
+                    if dist < loop_max_distance:
+                        if best is None or dist < best[0]:
+                            best = (dist, kb, db)
+            if best is None:
+                continue
+            _, kb, db = best
+            dp = delta_pose_np(gt[k, da], gt[kb, db])
+            is_outlier = rng.uniform() < loop_outlier_rate
+            if is_outlier:
+                dp = dp + rng.normal(0, loop_outlier_mag, size=4)
+            else:
+                dp[:3] += rng.normal(0, loop_pos_std, size=3)
+                dp[3] = wrap(dp[3] + rng.normal(0, loop_yaw_std))
+            loops.append(LoopMeas(k, da, kb, db, dp,
+                                  loop_pos_std, loop_yaw_std, is_outlier))
+    return loops
+
+
 def generate(params: SimParams) -> SimData:
     rng = np.random.default_rng(params.seed)
     F, D = params.num_frames, params.num_drones
@@ -162,35 +205,12 @@ def generate(params: SimParams) -> SimData:
     np.einsum("fdd->fd", ranges)[:] = 0.0
     np.einsum("fdd->fd", range_valid)[:] = False
 
-    # --- loop edges: proximity-gated fake place recognition ---------------
-    # (swarm_local_sim.cpp:474-529 queries a faiss L2 index of GT positions;
-    # proximity + recency guard emulated directly.)
-    loops: List[LoopMeas] = []
-    for k in range(0, F, params.loop_every):
-        for da in range(D):
-            # candidate: any earlier keyframe of any drone within gate
-            best = None
-            for kb in range(0, k + 1):
-                for db in range(D):
-                    if db == da and abs(kb - k) < 3:  # MATCH_INDEX_DIST guard
-                        continue
-                    dist = np.linalg.norm(gt[k, da, :3] - gt[kb, db, :3])
-                    if dist < params.loop_max_distance:
-                        if best is None or dist < best[0]:
-                            best = (dist, kb, db)
-            if best is None:
-                continue
-            _, kb, db = best
-            dp = delta_pose_np(gt[k, da], gt[kb, db])
-            is_outlier = rng.uniform() < params.loop_outlier_rate
-            if is_outlier:
-                dp = dp + rng.normal(0, params.loop_outlier_mag, size=4)
-            else:
-                dp[:3] += rng.normal(0, params.loop_pos_std, size=3)
-                dp[3] = wrap(dp[3] + rng.normal(0, params.loop_yaw_std))
-            loops.append(LoopMeas(k, da, kb, db, dp,
-                                  params.loop_pos_std, params.loop_yaw_std,
-                                  is_outlier))
+    loops = proximity_loops(
+        gt, rng, loop_every=params.loop_every,
+        loop_max_distance=params.loop_max_distance,
+        loop_outlier_rate=params.loop_outlier_rate,
+        loop_outlier_mag=params.loop_outlier_mag,
+        loop_pos_std=params.loop_pos_std, loop_yaw_std=params.loop_yaw_std)
 
     # --- detections: visibility-checked bearings --------------------------
     dets: List[DetMeas] = []

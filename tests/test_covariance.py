@@ -67,3 +67,36 @@ def test_estimator_pose_covariance():
     # the gauge-anchored self drone at its first frame is exactly fixed
     cov0 = est.pose_covariance(0, frame=0)
     assert np.abs(cov0).max() < 1e-9
+
+
+def test_solve_publishes_per_drone_covariance():
+    """publish_covariance attaches cov diagonals to every accepted solve
+    (reference publishes covariance with each fused output,
+    swarm_localization_node.cpp:207-422)."""
+    import numpy as np
+
+    from omniswarm_tpu import sim
+    from omniswarm_tpu.config import SolverParams
+    from tests.test_estimator import feed_sim
+    from omniswarm_tpu.swarm import SwarmEstimator
+
+    data = sim.generate(sim.SimParams(num_drones=3, num_frames=20, seed=9))
+    est = SwarmEstimator(SolverParams(self_id=0, pcm_redundant=True))
+    feed_sim(est, data, 20)
+    out = est.solve()
+    assert out["solved"] and out["finish_init"], out
+    assert "cov_diag" in out
+    assert set(out["cov_diag"]) == {0, 1, 2}
+    for d, diag in out["cov_diag"].items():
+        assert len(diag) == 4
+        assert all(np.isfinite(v) and v >= 0 for v in diag), (d, diag)
+    # the gauge-anchored drone at the queried frame is NOT frame 0, so all
+    # drones carry nonzero uncertainty; covariances are also cached
+    assert est.latest_covariances and 0 in est.latest_covariances
+
+    # knob off -> no covariance work
+    est2 = SwarmEstimator(SolverParams(self_id=0, pcm_redundant=True,
+                                       publish_covariance=False))
+    feed_sim(est2, data, 20)
+    out2 = est2.solve()
+    assert out2["solved"] and "cov_diag" not in out2

@@ -45,23 +45,46 @@ def main():
     ap.add_argument("--dt", type=float, default=0.5)
     ap.add_argument("--out", default="replay_out")
     ap.add_argument("--solve-every", type=int, default=10)
+    # real circle flights are small-scale; PC-replay launch configs relax
+    # the init-motion gates (loop-5-pc.launch role)
+    ap.add_argument("--init-xy", type=float, default=0.3)
+    ap.add_argument("--init-z", type=float, default=0.02)
+    ap.add_argument("--kf-movement", type=float, default=0.2,
+                    help="keyframe admission threshold (small for slow "
+                         "real circle flights)")
+    ap.add_argument("--loops", action="store_true",
+                    help="synthesize loop closures over the real "
+                         "trajectories (simulator-tier place recognition)")
     args = ap.parse_args()
 
     logs = []
     for spec in args.logs:
         path, _, off = spec.rpartition(":")
         logs.append((path, float(off)))
-    data = replay_dataset(logs, num_frames=args.frames, dt=args.dt)
+    data = replay_dataset(logs, num_frames=args.frames, dt=args.dt,
+                          synth_loops=args.loops)
     D = data.gt.shape[1]
 
     est = SwarmEstimator(SolverParams(self_id=0, pcm_redundant=True,
-                                      init_z_movement=0.05))
+                                      init_xy_movement=args.init_xy,
+                                      init_z_movement=args.init_z,
+                                      kf_movement=args.kf_movement))
+    from omniswarm_tpu.swarm.estimator import LoopRecord
+
+    loops_by_frame = {}
+    for lp in data.loops:
+        loops_by_frame.setdefault(lp.frame_a, []).append(lp)
     for k in range(args.frames):
         vio = {d: data.vio[k, d] for d in range(D)}
         ranges = {(a, b): float(data.ranges[k, a, b])
                   for a in range(D) for b in range(D)
                   if a != b and data.range_valid[k, a, b]}
         est.on_swarm_frame(float(data.times[k]), vio, ranges)
+        for lp in loops_by_frame.get(k, ()):
+            est.on_loop(LoopRecord(
+                t_a=float(data.times[lp.frame_a]), drone_a=lp.drone_a,
+                t_b=float(data.times[lp.frame_b]), drone_b=lp.drone_b,
+                dpose=lp.dpose, pos_std=lp.pos_std, yaw_std=lp.yaw_std))
         if (k + 1) % args.solve_every == 0:
             out = est.solve()
             print(f"t={data.times[k]:6.1f}s solve: {out}")
