@@ -142,7 +142,7 @@ def main():
         def iter_flops_for(g, poses, F):
             assemble = functools.partial(assemble_blocks, g)
             lamv = jnp.asarray(1e-4, jnp.float32)
-            pk = _auto_pack(F)
+            pk = _auto_pack(F, 4 * g.pose_valid.shape[-1])
 
             @jax.jit
             def cold(p):

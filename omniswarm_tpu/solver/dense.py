@@ -954,12 +954,15 @@ def _smw_solve_core(A, Boff, g, U, lam, warm=None, *, exact: bool = False,
     return dx.reshape(-1), warm_out
 
 
-def _auto_pack(F: int) -> int:
+def _auto_pack(F: int, m: int = 20) -> int:
     """Frames-per-block for the cyclic reduction. Large windows pay a
-    latency-bound level chain on thin (20, 20) blocks — pack 4 frames per
-    block from F>=384 (measured: F=1024 factor 4.7 ms -> level count -3,
-    lane-aligned 80-wide blocks)."""
-    return 4 if F >= 384 else 1
+    latency-bound level chain on thin (m, m) blocks — pack frames into
+    ~80-wide blocks from F>=384 (measured at m=20: F=1024 smw 13.0->3.2 ms
+    at pack=4; pack=8 = 160-wide blocks is WORSE — Newton-Schulz FLOPs
+    grow cubically with block width). Packing never exceeds 80 wide."""
+    if F < 384:
+        return 1
+    return max(1, min(4, 80 // max(m, 1)))
 
 
 def lm_solve_bt_impl(graph: DenseGraph, poses0: jnp.ndarray, *,
@@ -992,7 +995,7 @@ def lm_solve_bt_impl(graph: DenseGraph, poses0: jnp.ndarray, *,
 
     smw_solve = functools.partial(
         _smw_solve_core, exact=exact_linear,
-        pack=_auto_pack(F) if pack is None else pack)
+        pack=_auto_pack(F, 4 * D) if pack is None else pack)
     lam0 = jnp.asarray(1e-4, poses0.dtype)
     # cold Newton-Schulz factor seeds the warm chain (dx discarded)
     _, warm0 = smw_solve(A0, B0, g0, U0, lam0, None)
@@ -1071,7 +1074,7 @@ def lm_solve_bt_batched_impl(graph: DenseGraph, poses0_batch: jnp.ndarray,
     else:
         assemble = jax.vmap(functools.partial(base, graph))
 
-    pk = _auto_pack(F) if pack is None else pack
+    pk = _auto_pack(F, 4 * D) if pack is None else pack
     smw_cold = jax.vmap(
         lambda a, b, g, u, l: _smw_solve_core(a, b, g, u, l, None,
                                               exact=exact_linear, pack=pk))

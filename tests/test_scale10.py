@@ -23,3 +23,23 @@ def test_ten_drone_window_converges():
     rel_vio = metrics.mean_relative_ate(data.vio, data.gt)
     assert rel < rel_vio * 0.7, (rel, rel_vio)
     assert rel < 0.15, rel
+
+
+def test_ten_drone_large_window_packs_to_80_wide():
+    """F>=384 at D=10 packs 2 frames/block (80-wide), not 4 (160-wide —
+    measured slower); solve agrees with the unpacked path."""
+    from omniswarm_tpu.solver.dense import _auto_pack
+
+    assert _auto_pack(512, 40) == 2
+    assert _auto_pack(512, 20) == 4
+    assert _auto_pack(512, 80) == 1
+    assert _auto_pack(100, 20) == 1
+
+    data = sim.generate(sim.SimParams(num_drones=10, num_frames=48, seed=6))
+    graph = dense_graph_from_sim(data)
+    init = jnp.asarray(data.vio, jnp.float32)
+    r1 = lm_solve_bt(graph, init, max_iterations=20, pack=1)
+    r2 = lm_solve_bt(graph, init, max_iterations=20, pack=2)
+    c1, c2 = float(r1.cost), float(r2.cost)
+    assert np.isfinite(c1) and np.isfinite(c2)
+    assert abs(c1 - c2) / max(c1, 1e-9) < 5e-3, (c1, c2)
