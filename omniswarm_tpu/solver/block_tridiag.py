@@ -385,7 +385,7 @@ def _dense_tail_H(A, B):
 def bt_factor(A: jnp.ndarray, B: jnp.ndarray, *, direct_threshold: int = 8,
               ns_iters: int = 12, tail_ns_iters: int = 14,
               warm: Tuple | None = None,
-              warm_iters: int = 2) -> BTFactors:
+              warm_iters: int = 2, fused: bool = False) -> BTFactors:
     """Forward cyclic reduction of the matrices only (no rhs).
 
     Per level stores the Newton-Schulz inverse of the odd blocks plus the
@@ -402,10 +402,29 @@ def bt_factor(A: jnp.ndarray, B: jnp.ndarray, *, direct_threshold: int = 8,
     dummy_rhs = jnp.zeros(A.shape[:1] + (A.shape[1], 0), A.dtype)
     A, B, _, F_orig, Fp = _pad_pow2(A, B, dummy_rhs)
 
+    # warm levels fuse into ONE Pallas kernel per level on TPU (the level
+    # chain is launch-latency bound — see solver/pallas_level.py). Opt-in:
+    # measured 1.8x at F=1024 packed (80-wide blocks, large grids) but
+    # SLOWER for thin 20-wide blocks and under vmap, so only the packed
+    # single-instance solver requests it; CPU and cold paths keep XLA.
+    use_fused = fused and warm is not None and warm_iters == 2 \
+        and jax.default_backend() == "tpu"
+
     levels = []
     li = 0
     while A.shape[0] > max(1, direct_threshold):
         Fl = A.shape[0]
+        if use_fused:
+            from omniswarm_tpu.solver.pallas_level import (
+                fused_reduction_level)
+
+            (Ainv, B_left, B_right, W_l, W_r,
+             A_new, B_new) = fused_reduction_level(
+                A.astype(jnp.float32), B.astype(jnp.float32), warm[0][li])
+            li += 1
+            levels.append((Ainv, B_left, B_right, W_l, W_r))
+            A, B = A_new, B_new
+            continue
         A_odd = A[1::2]
         B_left = B[0::2]
         B_right = jnp.zeros_like(B_left)

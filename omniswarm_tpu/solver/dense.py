@@ -857,7 +857,7 @@ def assemble_blocks(graph: DenseGraph, poses: jnp.ndarray, *,
 
 @highp
 def _smw_solve_core(A, Boff, g, U, lam, warm=None, *, exact: bool = False,
-                    pack: int = 1):
+                    pack: int = 1, fused_levels: bool = False):
     """Damped (T + U U^T) dx = -g via block-tridiag solve + Woodbury.
 
     exact=False (default, the LM fast path) runs the matmul-only
@@ -917,7 +917,8 @@ def _smw_solve_core(A, Boff, g, U, lam, warm=None, *, exact: bool = False,
         # (measured: ns=8 stalls at 0.23 rel err at p=4; ns=10 reaches 5e-5)
         fac = bt_factor(Adp, Bp, ns_iters=8 if pack == 1 else 12,
                         direct_threshold=4,
-                        warm=None if warm is None else warm[:2])
+                        warm=None if warm is None else warm[:2],
+                        fused=fused_levels)
         # gradient column in f32; the C Woodbury columns sweep in bf16 —
         # they only feed S and the final correction, and the K-RHS sweep
         # is HBM-bandwidth-bound (halving bytes ~halves its time). The
@@ -993,9 +994,13 @@ def lm_solve_bt_impl(graph: DenseGraph, poses0: jnp.ndarray, *,
         # the accept-select and state traffic on the largest array
         U0 = U0.astype(jnp.bfloat16)
 
+    pk1 = _auto_pack(F, 4 * D) if pack is None else pack
+    # fused Pallas reduction levels: measured 1.8x at packed sizes
+    # (80-wide blocks, large grids) but slower for thin blocks and under
+    # vmap — only the packed single-instance path requests them
     smw_solve = functools.partial(
-        _smw_solve_core, exact=exact_linear,
-        pack=_auto_pack(F, 4 * D) if pack is None else pack)
+        _smw_solve_core, exact=exact_linear, pack=pk1,
+        fused_levels=pk1 > 1)
     lam0 = jnp.asarray(1e-4, poses0.dtype)
     # cold Newton-Schulz factor seeds the warm chain (dx discarded)
     _, warm0 = smw_solve(A0, B0, g0, U0, lam0, None)
