@@ -461,6 +461,13 @@ def bt_apply(fac: BTFactors, rhs: jnp.ndarray) -> jnp.ndarray:
     dtype-preserving: a bfloat16 rhs sweeps through the levels in bfloat16
     (half the HBM traffic of the K-RHS sweep — the measured bottleneck);
     the factor matrices stay f32 and the tail solve is done in f32.
+
+    (Measured dead end, round 3: Pallas-fusing these sweep levels the way
+    bt_factor's levels are fused made F=1024 SLOWER — 2.12 -> 2.53 ms/iter.
+    The K-wide sweeps are bandwidth-shaped and the reshape-based even/odd
+    split already avoids strided traffic, so per-pair kernel overhead on
+    (1, m, K) blocks only adds cost. Factor levels fuse; apply levels
+    stay XLA.)
     """
     F_orig = fac.F_orig
     dt = rhs.dtype
