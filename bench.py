@@ -50,16 +50,39 @@ def _chip_peak_flops():
     return 197e12, jax.devices()[0].device_kind
 
 
-def _hlo_flops(jitted, *args):
-    """Total HLO FLOPs of one call via compile-time cost analysis
-    (jax.profiler hangs over the remote tunnel; cost_analysis works)."""
+# HBM bandwidth peaks (GB/s -> B/s); the roofline denominator for the
+# bytes-accessed fields below
+_PEAK_HBM = {"v5 lite": 819e9, "v5litepod": 819e9, "v5e": 819e9,
+             "v4": 1228e9, "v6 lite": 1640e9, "v6e": 1640e9}
+
+
+def _chip_peak_hbm():
+    kind = jax.devices()[0].device_kind.lower()
+    for k, v in _PEAK_HBM.items():
+        if k in kind:
+            return v
+    return 819e9
+
+
+def _hlo_cost(jitted, *args):
+    """(flops, bytes_accessed) of one call via compile-time cost analysis
+    (jax.profiler hangs over the remote tunnel; cost_analysis works).
+    bytes_accessed counts every HLO operand+output touch, i.e. an upper
+    bound on HBM traffic (fusion-internal touches stay in
+    registers/VMEM), so hbm_frac computed from it OVERSTATES the true
+    HBM fraction — good enough to call which roof the kernel sits on."""
     try:
         c = jitted.lower(*args).compile().cost_analysis()
         if isinstance(c, (list, tuple)):
             c = c[0]
-        return float(c.get("flops", 0.0)) or None
+        return (float(c.get("flops", 0.0)) or None,
+                float(c.get("bytes accessed", 0.0)) or None)
     except Exception:                            # pragma: no cover
-        return None
+        return None, None
+
+
+def _hlo_flops(jitted, *args):
+    return _hlo_cost(jitted, *args)[0]
 
 
 def _median_time(fn, reps=5):
@@ -158,14 +181,28 @@ def main():
                 return dx
 
             w = cold(poses)
-            return _hlo_flops(one_iter, poses, w)
+            return _hlo_cost(one_iter, poses, w)
 
-        fl1 = iter_flops_for(graph, init, 100)
+        hbm_peak = _chip_peak_hbm()
+        eff["chip_peak_hbm_gbps"] = hbm_peak / 1e9
+        fl1, by1 = iter_flops_for(graph, init, 100)
         if fl1:
             eff["solver_flops_per_iter"] = round(fl1)
             eff["solver_achieved_tflops"] = round(fl1 * per_problem / 1e12, 3)
             eff["solver_mfu"] = round(fl1 * per_problem / peak, 5)
             eff["solver_mfu_batch8"] = round(fl1 * aggregate / peak, 5)
+        if by1:
+            # roofline verdict (VERDICT r3 item 3): achieved HBM traffic
+            # per second vs the chip's HBM peak — if hbm_frac is high the
+            # solver sits on the bandwidth roof and the low MFU is the
+            # roofline, not waste
+            eff["solver_bytes_per_iter"] = round(by1)
+            eff["solver_hbm_gbps"] = round(by1 * per_problem / 1e9, 2)
+            eff["solver_hbm_frac"] = round(by1 * per_problem / hbm_peak, 4)
+            if fl1:
+                # ops:byte vs the chip's critical intensity — which roof?
+                eff["solver_op_intensity"] = round(fl1 / by1, 2)
+                eff["chip_critical_intensity"] = round(peak / hbm_peak, 1)
     except Exception as e:                      # pragma: no cover
         eff["mfu_error"] = str(e)[:200]
 
@@ -207,13 +244,33 @@ def main():
             (int(rbig.iterations) * 1024 * 5 / dt_big)
             / max(per_problem * 100 * 5, 1e-9), 3)
         try:
-            flb = iter_flops_for(gbig, ibig, 1024)
+            flb, byb = iter_flops_for(gbig, ibig, 1024)
+            rate_big = int(rbig.iterations) / dt_big
             if flb:
                 eff["kf1024_achieved_tflops"] = round(
-                    flb * int(rbig.iterations) / dt_big / 1e12, 3)
-                eff["kf1024_mfu"] = round(
-                    flb * int(rbig.iterations) / dt_big / peak, 5)
+                    flb * rate_big / 1e12, 3)
+                eff["kf1024_mfu"] = round(flb * rate_big / peak, 5)
+            if byb:
+                eff["kf1024_bytes_per_iter"] = round(byb)
+                eff["kf1024_hbm_gbps"] = round(byb * rate_big / 1e9, 2)
+                eff["kf1024_hbm_frac"] = round(
+                    byb * rate_big / _chip_peak_hbm(), 4)
+                if flb:
+                    eff["kf1024_op_intensity"] = round(flb / byb, 2)
         except Exception:                       # pragma: no cover
+            pass
+        # fused-Pallas-level numerical parity on REAL hardware (the CI
+        # tier only runs the kernel in interpret mode — ADVICE r3): the
+        # same solve with fused levels disabled must land on the same cost
+        try:
+            rnf = lm_solve_bt(gbig, ibig, max_iterations=BIG_ITERS,
+                              function_tolerance=0.0, fused=False)
+            cf, cnf = float(rbig.cost), float(rnf.cost)
+            extras["kf1024_fused_cost_delta"] = round(
+                abs(cf - cnf) / max(abs(cnf), 1e-12), 8)
+            assert abs(cf - cnf) <= 2e-3 * max(abs(cnf), 1e-9), (
+                f"fused-level cost mismatch: fused={cf} unfused={cnf}")
+        except TypeError:                       # pragma: no cover
             pass
     except Exception as e:                      # pragma: no cover
         extras["kf1024_error"] = str(e)[:200]

@@ -88,6 +88,10 @@ class SolverParams:
     # output, swarm_localization_node.cpp:207-422)
     publish_covariance: bool = True
 
+    # Vectorized direct-to-dense window assembly (swarm/fastbuild.py);
+    # False forces the generic python build (debug/fallback comparison)
+    fast_build: bool = True
+
     # Debug ablations (params.hpp:38-50)
     debug_no_rejection: bool = False
     debug_loop_initial_only: bool = False

@@ -96,8 +96,12 @@ def solve_fleet(graphs: Sequence[DenseGraph], inits: Sequence[jnp.ndarray],
         repl = NamedSharding(mesh, P())
 
         def place(x):
-            if x.ndim >= 1 and x.shape[0] == poses0.shape[0] \
-                    and x.shape[0] % mesh.devices.size == 0:
+            # stack_graphs guarantees EVERY leaf carries the batch leading
+            # axis, so shard unconditionally on that axis (no shape
+            # matching against B — a non-batch leaf of coincidental length
+            # B would otherwise be mis-sharded); fall back to replication
+            # only when B doesn't divide the mesh
+            if x.ndim >= 1 and x.shape[0] % mesh.devices.size == 0:
                 return jax.device_put(x, NamedSharding(
                     mesh, P(axis, *([None] * (x.ndim - 1)))))
             return jax.device_put(x, repl)

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Dict, NamedTuple, Sequence, Tuple
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -73,9 +73,7 @@ def loopset_from_measurements(loops: Sequence) -> LoopSet:
     return LoopSet(fa, da, fb, db, dp, cov)
 
 
-@functools.partial(jax.jit, static_argnames=("vo_cov_pos_per_meter",
-                                             "vo_cov_yaw_per_meter"))
-def consistency_matrix(
+def _consistency_core(
     frame_a: jnp.ndarray, drone_a: jnp.ndarray,
     frame_b: jnp.ndarray, drone_b: jnp.ndarray,
     dpose: jnp.ndarray, cov_diag: jnp.ndarray,
@@ -123,11 +121,36 @@ def consistency_matrix(
     return smd, same_pair
 
 
+consistency_matrix = jax.jit(
+    _consistency_core,
+    static_argnames=("vo_cov_pos_per_meter", "vo_cov_yaw_per_meter"))
+
+
+@functools.partial(jax.jit, static_argnames=("vo_cov_pos_per_meter",
+                                             "vo_cov_yaw_per_meter"))
+def consistency_mask(
+    frame_a, drone_a, frame_b, drone_b, dpose, cov_diag, valid,
+    vio, cumlen, thres,
+    *, vo_cov_pos_per_meter: float = 0.002,
+    vo_cov_yaw_per_meter: float = 0.0001,
+) -> jnp.ndarray:
+    """Thresholded (L, L) bool consistency — the production-path variant:
+    the smd matrix stays on device (an (L, L) f32 transfer is 4 bytes/pair
+    — at 2k loops that's 16 MB over a remote-TPU tunnel; the bool mask is
+    1/4 of it) and padding rows are masked so the caller can bucket L to a
+    few compile shapes."""
+    smd, same_pair = _consistency_core(
+        frame_a, drone_a, frame_b, drone_b, dpose, cov_diag, vio, cumlen,
+        vo_cov_pos_per_meter=vo_cov_pos_per_meter,
+        vo_cov_yaw_per_meter=vo_cov_yaw_per_meter)
+    return (smd < thres) & same_pair & valid[:, None] & valid[None, :]
+
+
 @dataclass
 class PCMResult:
     good_mask: np.ndarray                 # (L,) bool
     pair_inliers: Dict[Tuple[int, int], np.ndarray]  # pair -> loop indices
-    smd: np.ndarray                       # (L, L) consistency errors
+    smd: Optional[np.ndarray]             # (L, L) errors (return_smd only)
 
 
 def pcm_filter(
@@ -140,6 +163,7 @@ def pcm_filter(
     vo_cov_pos_per_meter: float = 0.002,
     vo_cov_yaw_per_meter: float = 0.0001,
     external_inliers: Dict[Tuple[int, int], np.ndarray] | None = None,
+    return_smd: bool = True,
 ) -> PCMResult:
     """Select the PCM-consistent inlier subset of a loop set.
 
@@ -147,28 +171,76 @@ def pcm_filter(
     pairs fall back to ``external_inliers`` (peer-broadcast sets, the LCM
     LOOP_INLIERS channel equivalent) or accept-all — matching
     swarm_outlier_rejection.cpp:122-158.
+
+    Production-path notes (the estimator passes ``return_smd=False``):
+    only loops whose pair requires LOCAL computation enter the (L, L)
+    consistency kernel; L is bucketed to multiples of 64 with a validity
+    mask so the jit compiles once per bucket, not once per loop count
+    (every fresh shape is a multi-second recompile over a remote-TPU
+    tunnel); thresholding happens on device and only the bool mask
+    transfers. ``return_smd=True`` additionally materializes the full
+    (L, L) smd matrix for forensics (eval/pcm_debug).
     """
     L = loops.frame_a.shape[0]
     if L == 0:
-        return PCMResult(np.zeros(0, bool), {}, np.zeros((0, 0)))
+        return PCMResult(np.zeros(0, bool), {},
+                         np.zeros((0, 0)) if return_smd else None)
 
     vio = np.asarray(vio, np.float32)
     seg = np.linalg.norm(np.diff(vio[:, :, :3], axis=0), axis=-1)  # (F-1, D)
     cumlen = np.concatenate([np.zeros((1, seg.shape[1])),
                              np.cumsum(seg, 0)], 0).astype(np.float32)
 
-    smd, same_pair = consistency_matrix(
-        jnp.asarray(loops.frame_a), jnp.asarray(loops.drone_a),
-        jnp.asarray(loops.frame_b), jnp.asarray(loops.drone_b),
-        jnp.asarray(loops.dpose), jnp.asarray(loops.cov_diag),
-        jnp.asarray(vio), jnp.asarray(cumlen),
-        vo_cov_pos_per_meter=vo_cov_pos_per_meter,
-        vo_cov_yaw_per_meter=vo_cov_yaw_per_meter,
-    )
-    smd = np.asarray(smd)
-    same_pair = np.asarray(same_pair)
-    consistent = (smd < pcm_thres) & same_pair
-    np.fill_diagonal(consistent, False)
+    # --- subset needing local consistency computation -------------------
+    compute_all = redundant or self_id < 0
+    if compute_all:
+        sub = np.arange(L)
+    else:
+        sub = np.flatnonzero((loops.drone_a == self_id)
+                             | (loops.drone_b == self_id))
+    n = sub.size
+    consistent = None
+    if n:
+        def _bucket(k, step):
+            return max(step, ((k + step - 1) // step) * step)
+
+        Lb = _bucket(n, 64)
+        Fb = _bucket(vio.shape[0], 64)
+
+        def pad1(x, fill=0):
+            out = np.full((Lb,) + x.shape[1:], fill, x.dtype)
+            out[:n] = x[sub]
+            return out
+
+        vio_p = np.zeros((Fb,) + vio.shape[1:], vio.dtype)
+        vio_p[: vio.shape[0]] = vio
+        cum_p = np.zeros((Fb,) + cumlen.shape[1:], cumlen.dtype)
+        cum_p[: cumlen.shape[0]] = cumlen
+        valid = np.zeros(Lb, bool)
+        valid[:n] = True
+        mask = consistency_mask(
+            pad1(loops.frame_a), pad1(loops.drone_a),
+            pad1(loops.frame_b), pad1(loops.drone_b),
+            pad1(loops.dpose), pad1(loops.cov_diag, 1), valid,
+            vio_p, cum_p, jnp.float32(pcm_thres),
+            vo_cov_pos_per_meter=vo_cov_pos_per_meter,
+            vo_cov_yaw_per_meter=vo_cov_yaw_per_meter,
+        )
+        consistent = np.array(mask[:n, :n])    # copy: jax buffers are RO
+        np.fill_diagonal(consistent, False)
+    sub_pos = {int(g): i for i, g in enumerate(sub)}
+
+    smd = None
+    if return_smd:
+        smd_dev, _ = consistency_matrix(
+            jnp.asarray(loops.frame_a), jnp.asarray(loops.drone_a),
+            jnp.asarray(loops.frame_b), jnp.asarray(loops.drone_b),
+            jnp.asarray(loops.dpose), jnp.asarray(loops.cov_diag),
+            jnp.asarray(vio), jnp.asarray(cumlen),
+            vo_cov_pos_per_meter=vo_cov_pos_per_meter,
+            vo_cov_yaw_per_meter=vo_cov_yaw_per_meter,
+        )
+        smd = np.asarray(smd_dev)
 
     good = np.zeros(L, bool)
     pair_inliers: Dict[Tuple[int, int], np.ndarray] = {}
@@ -189,8 +261,9 @@ def pcm_filter(
             good[idx] = True
             pair_inliers[pair] = idx
             continue
-        sub = consistent[np.ix_(idx, idx)]
-        clique = max_clique(sub)
+        pos = np.asarray([sub_pos[int(i)] for i in idx])
+        subm = consistent[np.ix_(pos, pos)]
+        clique = max_clique(subm)
         sel = idx[clique]
         good[sel] = True
         pair_inliers[pair] = sel

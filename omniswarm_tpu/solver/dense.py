@@ -972,8 +972,14 @@ def lm_solve_bt_impl(graph: DenseGraph, poses0: jnp.ndarray, *,
                      det_inv_dep_std: float = 0.5,
                      function_tolerance: float = 1e-6,
                      exact_linear: bool = False,
-                     pack: Optional[int] = None):
+                     pack: Optional[int] = None,
+                     fused: Optional[bool] = None):
     """LM with the block-tridiagonal + Woodbury linear solver.
+
+    ``fused``: override the Pallas fused-reduction-level choice (default:
+    on for packed blocks on TPU). bench.py uses fused=False at identical
+    pack to assert numerical parity of the fused path on real hardware
+    (the CI tier only exercises the kernel in interpret mode).
 
     Per iteration: one cyclic-reduction factor-solve with (1 + 4L) RHS and
     one small (4L, 4L) capacitance solve — no dense (P, P) Hessian, no
@@ -1000,7 +1006,7 @@ def lm_solve_bt_impl(graph: DenseGraph, poses0: jnp.ndarray, *,
     # vmap — only the packed single-instance path requests them
     smw_solve = functools.partial(
         _smw_solve_core, exact=exact_linear, pack=pk1,
-        fused_levels=pk1 > 1)
+        fused_levels=(pk1 > 1) if fused is None else fused)
     lam0 = jnp.asarray(1e-4, poses0.dtype)
     # cold Newton-Schulz factor seeds the warm chain (dx discarded)
     _, warm0 = smw_solve(A0, B0, g0, U0, lam0, None)
@@ -1039,7 +1045,7 @@ lm_solve_bt = jax.jit(
     lm_solve_bt_impl,
     static_argnames=("max_iterations", "huber_delta", "det_sphere_std",
                      "det_inv_dep_std", "function_tolerance", "exact_linear",
-                     "pack"),
+                     "pack", "fused"),
 )
 
 
@@ -1154,15 +1160,24 @@ def pose_covariances(graph: DenseGraph, poses: jnp.ndarray,
     """
     import jax.scipy.linalg as jsl
 
-    from omniswarm_tpu.solver.block_tridiag import bt_solve
+    from omniswarm_tpu.solver.block_tridiag import bt_matvec, bt_solve
 
     F, D = graph.pose_valid.shape
     m = 4 * D
     A, Boff, g, U, _ = assemble_blocks(
         graph, poses, huber_delta=huber_delta,
         det_sphere_std=det_sphere_std, det_inv_dep_std=det_inv_dep_std)
-    # tiny ridge keeps gauge-direction singularities finite
-    A = A + 1e-6 * jnp.eye(m, dtype=A.dtype)[None]
+    # Ridge + refinement: the BT part alone can be gauge-singular (the
+    # information that fixes weakly observable directions often lives
+    # entirely in the Woodbury U term — e.g. a remote drone's yaw pinned
+    # only by a loop factor), so a fixed tiny ridge leaves cond(A) at
+    # ~max_diag/1e-6 and f32 Cholesky NaNs. Instead: a SCALE-RELATIVE
+    # ridge keeps the factorization f32-safe, and two iterative-refinement
+    # passes against the FULL H (BT matvec + U U^T) cancel the ridge bias
+    # (error per pass ~ ridge/lambda, so the bias is driven far below f32
+    # resolution for any direction the mask lets through).
+    ridge = 1e-6 * jnp.max(jnp.abs(A)) + 1e-12
+    Ar = A + ridge * jnp.eye(m, dtype=A.dtype)[None]
 
     Q = query.shape[0]
     E = jnp.zeros((F, m, 4 * Q), A.dtype)
@@ -1170,16 +1185,25 @@ def pose_covariances(graph: DenseGraph, poses: jnp.ndarray,
     cols = (jnp.arange(Q)[:, None] * 4 + jnp.arange(4)[None, :])
     E = E.at[query[:, 0, None], rows, cols].set(1.0)
 
-    rhs = jnp.concatenate([E, U], axis=-1)
-    Y = bt_solve(A, Boff, rhs)
-    YE = Y[..., : 4 * Q]
-    YU = Y[..., 4 * Q:]
     C = U.shape[-1]
+    YU = bt_solve(Ar, Boff, U)
     S = jnp.eye(C, dtype=A.dtype) + jnp.einsum("fmc,fmd->cd", U, YU)
-    UYE = jnp.einsum("fmc,fmq->cq", U, YE)
     Lc, low = jsl.cho_factor(S, lower=True)
-    Z = jsl.cho_solve((Lc, low), UYE)
-    X = YE - jnp.einsum("fmc,cq->fmq", YU, Z)          # H^-1 E
+
+    def minv(rhs):
+        """(BT(Ar) + U U^T)^-1 rhs via Woodbury (YU/S factor reused)."""
+        Y = bt_solve(Ar, Boff, rhs)
+        Z = jsl.cho_solve((Lc, low), jnp.einsum("fmc,fmq->cq", U, Y))
+        return Y - jnp.einsum("fmc,cq->fmq", YU, Z)
+
+    def happly(x):
+        """Full (unridged) H x = BT(A) x + U (U^T x)."""
+        return bt_matvec(A, Boff, x) + jnp.einsum(
+            "fmc,cq->fmq", U, jnp.einsum("fmc,fmq->cq", U, x))
+
+    X = minv(E)
+    for _ in range(2):
+        X = X + minv(E - happly(X))                    # H^-1 E
     # cov[q] = E_q^T X_q
     cov = jnp.einsum("fmq,fmp->qp", E, X)              # (4Q, 4Q) gathered
     cov = cov.reshape(Q, 4, Q, 4)

@@ -182,6 +182,17 @@ class SwarmEstimator:
         # optional 6-DoF VIO history per drone: list[(t, (7,) pose6)]
         self.ego6: Dict[int, List[Tuple[float, np.ndarray]]] = {}
         self._ego6_idx_cache: Dict[int, tuple] = {}
+        # vectorized-build state (swarm/fastbuild.py): incremental window
+        # grids + struct-of-array caches for loops/dets/ego lookups
+        from omniswarm_tpu.swarm.fastbuild import WindowGrids
+
+        self._grids = WindowGrids()
+        self._ego_sorted_cache: Dict[int, tuple] = {}
+        self._ego6_sorted_cache: Dict[int, tuple] = {}
+        self._loops_gen = 0
+        self._loops_soa_cache = None
+        self._dets_gen = 0
+        self._dets_soa_cache = None
         # measured per-LM-iteration wall time (ms) driving the
         # max_solver_time → iteration-budget mapping
         self._iter_ms_ema: Optional[float] = None
@@ -246,6 +257,7 @@ class SwarmEstimator:
             ranges={k: self._calibrate_range(k, float(v))
                     for k, v in ranges.items()})
         self.window.append(kf)
+        self._grids.admit(kf.t, kf.vio, kf.ranges)
         self._window_gen += 1
         self._evict()
         return True
@@ -275,6 +287,8 @@ class SwarmEstimator:
             else:
                 i = 0
             del self.window[i]
+            if i < self._grids.nrows:
+                self._grids.evict(i)
             self._window_gen += 1
             # the window can outgrow the last solve's estimate while a
             # threaded solve is in flight (finalize slices to the snapshot
@@ -316,7 +330,11 @@ class SwarmEstimator:
         if len(kept) != len(self.loops):
             self.loops = kept
             self._loop_keys = {loop_key(lp) for lp in kept}
+            self._loops_gen += 1
+        ndets = len(self.dets)
         self.dets = [d for d in self.dets if d.t >= tmin]
+        if len(self.dets) != ndets:
+            self._dets_gen += 1
         for d in list(self.ego):
             hist = self.ego[d]
             cut = 0
@@ -326,6 +344,7 @@ class SwarmEstimator:
                 self.ego[d] = hist[cut:]
                 self._ego_idx_cache.pop(d, None)
                 self._ego_cumlen_cache.pop(d, None)
+                self._ego_sorted_cache.pop(d, None)
         for d in list(self.ego6):
             hist = self.ego6[d]
             cut = 0
@@ -334,9 +353,67 @@ class SwarmEstimator:
             if cut:
                 self.ego6[d] = hist[cut:]
                 self._ego6_idx_cache.pop(d, None)
+                self._ego6_sorted_cache.pop(d, None)
 
     def on_detection(self, det: DetRecord) -> None:
         self.dets.append(det)
+
+    # ------------------------------------------------------------------
+    # Struct-of-array views for the vectorized build (swarm/fastbuild.py)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _loop_records_to_soa(recs) -> Dict[str, np.ndarray]:
+        n = len(recs)
+        ident6 = np.array([0, 0, 0, 1, 0, 0, 0], float)
+        return dict(
+            t_a=np.asarray([r.t_a for r in recs], float),
+            da=np.asarray([r.drone_a for r in recs], np.int64),
+            t_b=np.asarray([r.t_b for r in recs], float),
+            db=np.asarray([r.drone_b for r in recs], np.int64),
+            dpose=np.asarray([r.dpose for r in recs],
+                             float).reshape(n, 4),
+            pos_std=np.asarray([r.pos_std for r in recs], float),
+            yaw_std=np.asarray([r.yaw_std for r in recs], float),
+            has6=np.asarray([r.dpose6 is not None for r in recs], bool),
+            dpose6=np.asarray(
+                [ident6 if r.dpose6 is None else r.dpose6 for r in recs],
+                float).reshape(n, 7),
+        )
+
+    def _loops_soa(self) -> Dict[str, np.ndarray]:
+        """Loop records as arrays; cached, tail-append on pure growth."""
+        key = (self._loops_gen, len(self.loops))
+        c = self._loops_soa_cache
+        if c is not None and c[0] == key:
+            return c[1]
+        if (c is not None and c[0][0] == self._loops_gen
+                and c[0][1] < len(self.loops)):
+            old, start = c[1], c[0][1]
+            new = self._loop_records_to_soa(self.loops[start:])
+            soa = {k: np.concatenate([old[k], new[k]]) for k in old}
+        else:
+            soa = self._loop_records_to_soa(self.loops)
+        self._loops_soa_cache = (key, soa)
+        return soa
+
+    def _dets_soa(self) -> Dict[str, np.ndarray]:
+        key = (self._dets_gen, len(self.dets))
+        c = self._dets_soa_cache
+        if c is not None and c[0] == key:
+            return c[1]
+        n = len(self.dets)
+        soa = dict(
+            t=np.asarray([d.t for d in self.dets], float),
+            da=np.asarray([d.drone_a for d in self.dets], np.int64),
+            db=np.asarray([d.drone_b for d in self.dets], np.int64),
+            direction=np.asarray([d.direction for d in self.dets],
+                                 float).reshape(n, 3),
+            inv_dep=np.asarray([d.inv_dep for d in self.dets], float),
+            enable_depth=np.asarray([d.enable_depth for d in self.dets],
+                                    bool),
+        )
+        self._dets_soa_cache = (key, soa)
+        return soa
 
     # ------------------------------------------------------------------
     # Solve
@@ -667,6 +744,8 @@ class SwarmEstimator:
                 inv_dep_std=max(p.detection_inv_dep_std, 0.1))
             if mapping:
                 total += rewrite_detections(dets, mapping)
+        if total:
+            self._dets_gen += 1     # in-place ID rewrites stale the SoA view
         return total
 
     def _range_outlier(self, fi: int, da: int, db: int, dist: float) -> bool:
@@ -753,7 +832,12 @@ class SwarmEstimator:
             anchored.append((fa, idmap[lp.drone_a], fb, idmap[lp.drone_b],
                              dpose, ps, ys))
             anchored_src.append(lp)
-        if not anchored or not p.pcm_enable or p.debug_no_rejection:
+        if p.debug_no_rejection:
+            # ablation parity: the reference's debug flag disables ALL loop
+            # filtering and its average_same_loop is a pass-through upstream
+            # (solver.cpp:1555-1592) — return the raw anchored measurements
+            return anchored
+        if not anchored or not p.pcm_enable:
             return _average_same_pair(anchored)
 
         class _L:
@@ -771,7 +855,7 @@ class SwarmEstimator:
             loopset, vio_grid, pcm_thres=p.pcm_thres_4dof,
             self_id=idmap.get(self.self_id, -1), redundant=p.pcm_redundant,
             vo_cov_pos_per_meter=p.vo_cov_pos_per_meter,
-            vo_cov_yaw_per_meter=p.vo_cov_yaw_per_meter)
+            vo_cov_yaw_per_meter=p.vo_cov_yaw_per_meter, return_smd=False)
         good = np.array(res.good_mask)
 
         inv_idmap = {v: k for k, v in idmap.items()}
@@ -847,7 +931,20 @@ class SwarmEstimator:
         if p.enable_data_association:
             self._associate_anonymous_detections()
         self._prune_stale()
-        graph, init, idmap = self._build()
+
+        # Vectorized direct-to-dense assembly (swarm/fastbuild.py) — the
+        # production path; falls back to the generic python build when the
+        # window structure doesn't fit the dense frame layout
+        graph = dense_graph = None
+        if p.fast_build:
+            from omniswarm_tpu.swarm.fastbuild import build_dense_fast
+
+            fast = build_dense_fast(self)
+            if fast is not None:
+                dense_graph, init, idmap = fast
+                self.window_ids = list(idmap)
+        if dense_graph is None:
+            graph, init, idmap = self._build()
         F, D = init.shape[:2]
 
         # Warm start from the previous estimate where shapes still align.
@@ -859,9 +956,10 @@ class SwarmEstimator:
             warm[:Fp, :Dp] = self.estimate[-Fp:, :Dp]
             init = warm
 
-        from omniswarm_tpu.solver.dense import dense_from_factor_graph
+        if dense_graph is None:
+            from omniswarm_tpu.solver.dense import dense_from_factor_graph
 
-        dense_graph = dense_from_factor_graph(graph)
+            dense_graph = dense_from_factor_graph(graph)
         # max_solver_time wall-clock budget → LM iteration budget (Ceres
         # max_solver_time_in_seconds, solver.cpp:1695-1719): per-iteration
         # cost is measured from previous solves; the budget is quantized to
@@ -939,6 +1037,11 @@ class SwarmEstimator:
         p = self.params
         self._last_dense_graph = prep["dense_graph"]
         self._last_padded_poses = np.asarray(res.poses)
+        # covariance queries must index the SNAPSHOT graph, not live state:
+        # a post-solve eviction or window-membership change shifts rows, so
+        # capture the snapshot's frame count and drone order here
+        self._last_num_window = prep["num_window"]
+        self._last_window_ids = list(self.window_ids)
         cost = float(res.cost)
         self.last_cost = cost
         self.solve_count += 1
@@ -993,18 +1096,19 @@ class SwarmEstimator:
         solve)."""
         from omniswarm_tpu.solver.dense import pose_covariances_jit
 
-        if (self.estimate is None
-                or getattr(self, "_last_dense_graph", None) is None
-                or not self.window_ids):
+        ids = getattr(self, "_last_window_ids", None)
+        if (getattr(self, "_last_dense_graph", None) is None or not ids):
             return {}
-        fi = len(self.estimate) - 1 if frame is None else frame
-        q = np.asarray([[fi, i] for i in range(len(self.window_ids))],
-                       np.int32)
+        # index into the solve-time SNAPSHOT (frame rows/drone columns of
+        # _last_dense_graph), not live window state — eviction or membership
+        # changes after the solve would silently shift indices otherwise
+        fi = self._last_num_window - 1 if frame is None else frame
+        q = np.asarray([[fi, i] for i in range(len(ids))], np.int32)
         cov = np.asarray(pose_covariances_jit(
             self._last_dense_graph,
             jnp.asarray(self._last_padded_poses, jnp.float32),
             jnp.asarray(q)))
-        return {d: cov[i] for i, d in enumerate(self.window_ids)}
+        return {d: cov[i] for i, d in enumerate(ids)}
 
     def pose_covariance(self, drone: int,
                         frame: Optional[int] = None) -> Optional[np.ndarray]:
@@ -1013,12 +1117,12 @@ class SwarmEstimator:
         reference publishes the analogous covariance in its fused outputs."""
         from omniswarm_tpu.solver.dense import pose_covariances
 
-        if (self.estimate is None
-                or getattr(self, "_last_dense_graph", None) is None
-                or drone not in self.window_ids):
+        ids = getattr(self, "_last_window_ids", None)
+        if (getattr(self, "_last_dense_graph", None) is None
+                or not ids or drone not in ids):
             return None
-        di = self.window_ids.index(drone)
-        fi = len(self.estimate) - 1 if frame is None else frame
+        di = ids.index(drone)
+        fi = self._last_num_window - 1 if frame is None else frame
         cov = pose_covariances(
             self._last_dense_graph,
             jnp.asarray(self._last_padded_poses, jnp.float32),

@@ -26,9 +26,12 @@ CHECKS=$(( (PROBATION + 29) / 30 ))
 # the stall watchdog keys on LOG mtime — python block-buffers stdout when
 # redirected, which would freeze the mtime on a healthy job
 export PYTHONUNBUFFERED=1
+FASTFAILS=0
 for attempt in $(seq 1 8); do
-  # preserve the previous attempt's output (crash diagnostics)
-  [ -f "$LOG" ] && mv -f "$LOG" "$LOG.prev"
+  # preserve the previous attempt's output (crash diagnostics), numbered so
+  # earlier attempts' logs survive later retries
+  [ -f "$LOG" ] && mv -f "$LOG" "$LOG.a$((attempt - 1))"
+  T_START=$(date +%s)
   "$@" > "$LOG" 2>&1 &
   PID=$!
   ok=0
@@ -52,6 +55,21 @@ for attempt in $(seq 1 8); do
       rc=$?
       echo "attempt $attempt: exited rc=$rc" >> "$LOG.status"
       if [ "$rc" -ne 0 ]; then
+        # Deterministic-failure guard: a nonzero exit shortly after passing
+        # probation (bad CLI arg discovered late, OOM, assertion) will fail
+        # identically every attempt — stop after two consecutive fast
+        # failures instead of burning all 8 attempts.
+        ELAPSED=$(( $(date +%s) - T_START ))
+        if [ "$ELAPSED" -lt $(( PROBATION + 60 )) ]; then
+          FASTFAILS=$(( FASTFAILS + 1 ))
+          if [ "$FASTFAILS" -ge 2 ]; then
+            echo "two consecutive fast nonzero exits; not retrying" \
+              >> "$LOG.status"
+            exit "$rc"
+          fi
+        else
+          FASTFAILS=0
+        fi
         # crash after healthy progress: retry (commands are resumable)
         continue
       fi
