@@ -35,7 +35,8 @@ import numpy as np
 from omniswarm_tpu.config import SolverParams
 from omniswarm_tpu.core.trajectory import drift_variances
 from omniswarm_tpu.robust.pcm import loopset_from_measurements, pcm_filter
-from omniswarm_tpu.sim.simulator import delta_pose_np, pose_mul_np, wrap
+from omniswarm_tpu.sim.simulator import (delta_pose_np, invert_pose_np,
+                                         pose_mul_np, wrap)
 from omniswarm_tpu.solver.graph import GraphBuilder, diag_sqrt_info
 from omniswarm_tpu.solver.gauss_newton import lm_solve, lm_solve_multi_init
 
@@ -196,6 +197,9 @@ class SwarmEstimator:
         # measured per-LM-iteration wall time (ms) driving the
         # max_solver_time → iteration-budget mapping
         self._iter_ms_ema: Optional[float] = None
+        # whether the self drone's motion box was large enough at the last
+        # observability pass (system_is_initied_by_motion, solver.cpp:786)
+        self._motion_ok = False
 
     # ------------------------------------------------------------------
     # Ingestion
@@ -563,6 +567,9 @@ class SwarmEstimator:
                          and ext[2] > p.init_z_movement)
         if motion_ok:
             pos_obs |= ids
+        # stashed for prepare_solve's init-strategy branch
+        # (system_is_initied_by_motion, solver.cpp:786)
+        self._motion_ok = motion_ok
 
         solvable = (len(ids) == 1 and len(self.window) > 5) \
             or motion_ok or any(d != self.self_id for d in yaw_obs)
@@ -703,6 +710,54 @@ class SwarmEstimator:
                     enable_depth=det.enable_depth and p.enable_detection_depth)
 
         return builder.build(), init, idmap
+
+    def _loop_seeded_init(self, init: np.ndarray,
+                          idmap: Dict[int, int]) -> Optional[np.ndarray]:
+        """Seed never-initialized drones from PCM-good loop edges.
+
+        Port of init_pose_by_loops/init_pose_by_loop
+        (swarm_localization_solver.cpp:218-268, selected at :786,:802-806
+        whenever system_is_initied_by_motion is false): when self-motion
+        cannot initialize the swarm, a drone with a verified loop edge to
+        an already-estimated drone gets its whole window column composed as
+
+            pose(d, fi) = pose(src, fa) ∘ loop_dpose ∘ Δvio_d(fb → fi)
+
+        i.e. the source drone's estimated pose at the loop's anchor frame,
+        the loop measurement, then the target drone's own ego motion from
+        the loop anchor to every window frame. The set of estimated drones
+        grows breadth-first so chains of loops initialize multi-hop
+        topologies. Returns the seeded init grid (or None when no loop
+        could seed anything new). True inter-drone frame offsets of tens
+        of meters — far outside the ±2 m random-jitter basin — become
+        exact starting points.
+        """
+        self_col = idmap.get(self.self_id)
+        if self_col is None:
+            return None
+        good = self._filter_loops(idmap)
+        if not good:
+            return None
+        seeded = init.copy()
+        estimated = {self_col}
+        applied = False
+        changed = True
+        while changed:
+            changed = False
+            for (fa, da, fb, db, dpose, _ps, _ys) in good:
+                for f_src, c_src, f_dst, c_dst, dp in (
+                        (fa, da, fb, db, dpose),
+                        (fb, db, fa, da, invert_pose_np(dpose))):
+                    if c_src not in estimated or c_dst in estimated:
+                        continue
+                    base = pose_mul_np(seeded[f_src, c_src], dp)
+                    vio_dst = init[:, c_dst]           # VIO column (local)
+                    anchor = vio_dst[f_dst]
+                    seeded[:, c_dst] = pose_mul_np(
+                        base[None], delta_pose_np(anchor[None], vio_dst))
+                    estimated.add(c_dst)
+                    applied = changed = True
+        return seeded if applied else None
 
     def _associate_anonymous_detections(self) -> int:
         """Resolve anonymous detection targets via DA-init DFS.
@@ -977,22 +1032,32 @@ class SwarmEstimator:
 
         inits = None
         if not self.finish_init:
-            # batched multi-trial random init (solve_with_multiple_init)
+            # batched multi-trial init (solve_with_multiple_init,
+            # solver.cpp:781-845): every trial is one vmapped lane.
             B = p.init_random_trials + 1
             inits = np.tile(init[None], (B, 1, 1, 1))
+            # When self-motion can't initialize, the reference switches the
+            # init strategy to loop seeding (:786,:802-806); here the seeded
+            # grid takes lane 1 and becomes the base the remaining random
+            # lanes jitter around, while lane 0 keeps the plain VIO start.
+            base, first_rand = init, 1
+            if not self._motion_ok:
+                seeded = self._loop_seeded_init(init, idmap)
+                if seeded is not None:
+                    inits[1 % B] = seeded
+                    base, first_rand = seeded, 2
             # Randomize only non-self drones (the reference's random init
-            # leaves the ego chain at VIO and perturbs the others,
-            # solver.cpp:781-845); jittering the gauge-fixed pose would move
-            # the anchor itself.
+            # leaves the ego chain at VIO and perturbs the others);
+            # jittering the gauge-fixed pose would move the anchor itself.
             self_col = idmap.get(self.self_id, None)
-            for b in range(1, B):
+            for b in range(first_rand, B):
                 jitter = self._rng.normal(
                     0, 2.0, size=(F, D, 4)).astype(np.float32)
                 jitter[..., 3] = self._rng.uniform(
                     -np.pi, np.pi, size=(F, D))
                 if self_col is not None:
                     jitter[:, self_col, :] = 0.0
-                inits[b] = init + jitter
+                inits[b] = base + jitter
 
         return {"refused": False, "graph": graph, "dense_graph": dense_graph,
                 "init": init, "inits": inits, "idmap": idmap,

@@ -193,3 +193,102 @@ def test_duplicate_loops_do_not_tighten_estimate():
         return int(np.asarray(graph.loops.valid).sum())
 
     assert build_with_dup(4) == build_with_dup(1)
+
+
+def _hover_two_drone_world(offset, n=20, seed=3, step=0.06):
+    """Two hovering drones whose local VIO frames differ by ``offset``.
+
+    Returns (times, vio0, vio1_local, gt1_world): drone 1's VIO lives in
+    its own local frame; its world pose is offset ∘ local.
+    """
+    from omniswarm_tpu.sim.simulator import pose_mul_np
+
+    rng = np.random.default_rng(seed)
+    times = 10.0 + np.arange(n, dtype=float)
+    # small random walks (below init_xy_movement so motion can't init)
+    def walk():
+        steps = rng.normal(0, step, size=(n, 4))
+        steps[:, 3] *= 0.1
+        return np.cumsum(steps, axis=0)
+    vio0 = walk()
+    vio1_local = walk()
+    gt1_world = pose_mul_np(np.broadcast_to(offset, (n, 4)), vio1_local)
+    return times, vio0, vio1_local, gt1_world
+
+
+def test_loop_seeded_init_large_offset():
+    """init_pose_by_loops parity (solver.cpp:218-268, :786,:802-806):
+    two hovering drones whose local frames differ by ~20 m and a yaw flip
+    must converge via loop-seeded init — the ±2 m random-jitter basin
+    cannot reach the true offset, and the motion box never unlocks
+    random init."""
+    from omniswarm_tpu.sim.simulator import delta_pose_np
+
+    offset = np.array([20.0, 5.0, 0.0, 2.5])
+    times, vio0, vio1_local, gt1_world = _hover_two_drone_world(offset)
+    n = len(times)
+    rng = np.random.default_rng(7)
+
+    est = SwarmEstimator(SolverParams(
+        self_id=0, kf_movement=0.01, pcm_redundant=True,
+        loop_outlier_distance_threshold=50.0))
+    for k in range(n):
+        vio = {0: vio0[k], 1: vio1_local[k]}
+        ranges = {(0, 1): float(
+            np.linalg.norm(vio0[k][:3] - gt1_world[k][:3])
+            + rng.normal(0, 0.05))}
+        est.on_swarm_frame(float(times[k]), vio, ranges)
+    # a handful of inter-drone loops (true relative pose + small noise)
+    for k in (2, 6, 10, 14):
+        dp = delta_pose_np(vio0[k], gt1_world[k]) + rng.normal(0, 0.01, 4)
+        est.on_loop(LoopRecord(t_a=float(times[k]), drone_a=0,
+                               t_b=float(times[k]), drone_b=1,
+                               dpose=dp, pos_std=0.05, yaw_std=0.02))
+
+    assert not est._motion_ok or not est.finish_init
+    out = est.solve()
+    assert out["solved"], out
+    assert not est._motion_ok  # motion box never initialized this
+    # drone-1 world positions recovered to sub-meter despite the 20 m
+    # offset: only the loop-seeded lane can have found this basin
+    idmap = {d: i for i, d in enumerate(est.window_ids)}
+    kf_idx = [int(round(kf.t - times[0])) for kf in est.window]
+    err = np.linalg.norm(
+        est.estimate[:len(kf_idx), idmap[1], :3]
+        - gt1_world[kf_idx][:, :3], axis=-1)
+    assert float(np.median(err)) < 1.0, (np.median(err), out)
+
+
+def test_loop_seeded_init_grid_values():
+    """_loop_seeded_init composes the target column exactly: seeded pose
+    of the target drone equals source ∘ loop ∘ own-ego-delta at every
+    frame (init_pose_by_loop, solver.cpp:236-268)."""
+    from omniswarm_tpu.sim.simulator import delta_pose_np, pose_mul_np
+
+    offset = np.array([-8.0, 12.0, 1.0, -1.2])
+    times, vio0, vio1_local, gt1_world = _hover_two_drone_world(offset, n=12)
+    est = SwarmEstimator(SolverParams(
+        self_id=0, kf_movement=0.01, loop_outlier_distance_threshold=50.0))
+    for k in range(len(times)):
+        est.on_swarm_frame(float(times[k]),
+                           {0: vio0[k], 1: vio1_local[k]}, {})
+    k0 = 4
+    dp = delta_pose_np(vio0[k0], gt1_world[k0])      # noise-free loop
+    est.on_loop(LoopRecord(t_a=float(times[k0]), drone_a=0,
+                           t_b=float(times[k0]), drone_b=1,
+                           dpose=dp, pos_std=0.05, yaw_std=0.02))
+    idmap = {d: i for i, d in enumerate(est._drone_ids())}
+    est.window_ids = list(est._drone_ids())
+    F = len(est.window)
+    init = np.zeros((F, 2, 4), np.float32)
+    for fi, kf in enumerate(est.window):
+        for d, pose in kf.vio.items():
+            init[fi, idmap[d]] = pose
+    seeded = est._loop_seeded_init(init, idmap)
+    assert seeded is not None
+    # self column untouched
+    np.testing.assert_allclose(seeded[:, idmap[0]], init[:, idmap[0]])
+    # target column equals the true world pose of drone 1 (loop is exact,
+    # VIO deltas are exact in this construction)
+    np.testing.assert_allclose(
+        seeded[:F, idmap[1]], gt1_world[:F], atol=1e-4)
