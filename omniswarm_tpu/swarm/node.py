@@ -87,9 +87,9 @@ class DroneNode:
             kf = KeyframeData(**{**kf.__dict__, "prevent_adding_db": True})
         self._received_image = True
         self._last_kf_pos = pos
-        cand = self.detector.on_keyframe(kf, prevent_adding_db=prevent)
+        cands = self.detector.on_keyframe_multi(kf, prevent_adding_db=prevent)
         self.net.broadcast_keyframe(kf, t)
-        if cand is not None:
+        for cand in cands:
             self.loops_found += 1
             self._ingest_loop(cand.edge)
             self.net.broadcast_loop_edge(cand.edge, t)
@@ -117,9 +117,9 @@ class DroneNode:
 
     # ------------------------------------------------------------------
     def _on_remote_keyframe(self, kf: KeyframeData) -> None:
-        cand = self.detector.on_keyframe(
+        cands = self.detector.on_keyframe_multi(
             kf, prevent_adding_db=kf.prevent_adding_db)
-        if cand is not None:
+        for cand in cands:
             self.loops_found += 1
             self._ingest_loop(cand.edge)
             self.net.broadcast_loop_edge(cand.edge, kf.t)

@@ -26,8 +26,13 @@ def build_estimator(frames: int, loops: int, drones: int = 5):
     from omniswarm_tpu.sim.simulator import delta_pose_np
     from omniswarm_tpu.swarm.estimator import LoopRecord, SwarmEstimator
 
+    # acpt_cost is an ABSOLUTE converged-cost gate tuned for the
+    # reference's 100-frame windows (max_accept_cost); total cost grows
+    # linearly with window size, so scale it or every big-window solve
+    # would flip finish_init and re-run multi-init at F=1024
     p = SolverParams(self_id=0, max_frame_number=frames, kf_movement=0.05,
                      loop_outlier_distance_threshold=50.0,
+                     acpt_cost=100.0 * max(frames / 25.0, 1.0),
                      max_iterations=50, publish_covariance=False)
     est = SwarmEstimator(p, rng_seed=0)
     rng = np.random.default_rng(0)
@@ -35,13 +40,26 @@ def build_estimator(frames: int, loops: int, drones: int = 5):
     for i in range(frames):
         vio = {}
         for d in range(drones):
+            # gentle arc (2 m radius circles) so the x/y motion box
+            # unlocks initialization like a real survey flight
+            yaw = pose[d][3]
             pose[d] = pose[d] + np.array(
-                [0.1, 0.02 * rng.normal(), 0, 0.002 * rng.normal()])
+                [0.1 * np.cos(yaw), 0.1 * np.sin(yaw),
+                 0.08 * np.cos(2 * np.pi * i / 60.0),
+                 0.05 + 0.002 * rng.normal()])
             vio[d] = pose[d] + rng.normal(0, 0.01, 4)
         ranges = {(a, b): float(np.linalg.norm(vio[a][:3] - vio[b][:3]))
                   + rng.normal(0, 0.05)
                   for a in range(drones) for b in range(a + 1, drones)}
         est.on_swarm_frame(100.0 + i, vio, ranges)
+        if i == 80 and not est.finish_init:
+            # production-faithful init: the system initializes (multi-init
+            # lanes) while the window is SMALL; by 1,024 keyframes every
+            # solve is a warm single-init program. Solving multi-init at
+            # F=1024 would compile a B=4 batched F=1024 solver no real
+            # deployment ever runs.
+            r = est.solve()
+            assert r.get("solved"), r
     for k in range(loops):
         a, b = rng.choice(drones, 2, replace=False)
         ta = 100.0 + float(rng.integers(2, frames - 1))
