@@ -67,7 +67,10 @@ def main():
     rng = np.random.default_rng(0)
 
     fp = FrontendParams(max_db_size=512, min_loop_matches=15,
-                        match_index_dist=4, netvlad_thres=0.4,
+                        match_index_dist=4, netvlad_thres=0.35,
+                        min_loop_matches_init=12,
+                        search_nearest_num=8, max_loops_per_query=3,
+                        geometric_override_matches=25,
                         pnp_iterations=256,
                         accept_loop_yaw_mod=float(np.pi / 2))
     intr = CameraIntrinsics(fx=220, fy=220, cx=fp.width / 2,
@@ -157,6 +160,8 @@ def main():
             n_true += 1
         else:
             n_false += 1
+            print(f"  FALSE loop d{lp.drone_a}k{ka} <-> d{lp.drone_b}k{kb}"
+                  f" err_p={err_p:.2f} err_y={err_y:.2f}")
     # recall: revisit opportunities among rendered keyframes (GT proximity
     # gate, MATCH_INDEX_DIST recency guard for same-drone pairs)
     found_pairs = set()
@@ -182,6 +187,61 @@ def main():
     covered = len(opps & found_pairs)
     recall = covered / max(len(opps), 1)
     precision = n_true / max(n_true + n_false, 1)
+    # recall-miss breakdown: same-drone vs cross-drone opportunities
+    missed = opps - found_pairs
+    missed_same = sum(1 for (a, b) in missed if a[0] == b[0])
+    print(f"missed opportunities: {len(missed)} "
+          f"({missed_same} same-drone, "
+          f"{len(missed) - missed_same} cross-drone)")
+    # why were they missed? NetVLAD similarity of each missed pair
+    gd_by_kf = {}
+    for node in nodes:
+        for kfd in list(node.detector.local_kfs.values()) + \
+                list(node.detector.remote_kfs.values()):
+            gd_by_kf[(kfd.drone_id, kfd.frame_id)] = kfd.global_desc
+    sims_missed = []
+    for (a, b) in missed:
+        ga = gd_by_kf.get(a)
+        gb = gd_by_kf.get(b)
+        if ga is not None and gb is not None:
+            sims_missed.append(float(np.dot(ga, gb)))
+    if sims_missed:
+        sims_missed = np.asarray(sims_missed)
+        print(f"missed-pair NetVLAD sims: median {np.median(sims_missed):.3f}"
+              f" p90 {np.percentile(sims_missed, 90):.3f} "
+              f">=0.15: {(sims_missed >= 0.15).sum()}/{len(sims_missed)} "
+              f">=0.35: {(sims_missed >= 0.35).sum()}/{len(sims_missed)}")
+
+    def post_pcm_precision():
+        """Precision of the loop set that SURVIVES outlier rejection —
+        pair_inliers is what each node computed for its own pairs at
+        solve time and broadcast (swarm_outlier_rejection.cpp:73-96);
+        must run AFTER the solves."""
+        inlier_keys = set()
+        for node in nodes:
+            for keys in node.estimator.pair_inliers.values():
+                inlier_keys.update(keys)
+            for keys in node.estimator.external_inliers.values():
+                inlier_keys.update(keys)
+        pcm_true = pcm_false = 0
+        for key, lp in uniq.items():
+            if key not in inlier_keys:
+                continue
+            ka, kb = int(round(lp.t_a)), int(round(lp.t_b))
+            gt_dp = delta_pose_np(data.gt[ka, lp.drone_a],
+                                  data.gt[kb, lp.drone_b])
+            err_p = float(np.linalg.norm(
+                np.asarray(lp.dpose)[:3] - gt_dp[:3]))
+            err_y = abs(wrap(float(lp.dpose[3]) - gt_dp[3]))
+            if err_p < 0.30 and err_y < 0.20:
+                pcm_true += 1
+            else:
+                pcm_false += 1
+                print(f"  FALSE loop SURVIVED PCM d{lp.drone_a}k{ka} <-> "
+                      f"d{lp.drone_b}k{kb} err_p={err_p:.2f} "
+                      f"err_y={err_y:.2f}")
+        return pcm_true, pcm_false
+
     views_per_s = fe_views / max(fe_time, 1e-9)
     lat_ms = float(np.median(kf_lat_ms)) if kf_lat_ms else float("nan")
     print(f"loops: {len(uniq)} unique, {n_true} true / {n_false} false "
@@ -220,6 +280,11 @@ def main():
             "vio_relative_ate_cm": round(rel_vio * 100, 2),
             "mean_abs_ate_cm": round(float(np.mean(ates)) * 100, 2)})
 
+    pcm_true, pcm_false = post_pcm_precision()
+    pcm_precision = pcm_true / max(pcm_true + pcm_false, 1)
+    print(f"post-PCM: {pcm_true} true / {pcm_false} false "
+          f"(precision {pcm_precision:.3f})")
+
     if args.out:
         import json
 
@@ -230,8 +295,12 @@ def main():
             "loops_unique": len(uniq), "loops_true": n_true,
             "loops_false": n_false,
             "loop_precision": round(precision, 4),
+            "loop_precision_post_pcm": round(pcm_precision, 4),
+            "loops_false_post_pcm": pcm_false,
             "loop_recall": round(recall, 4),
             "revisit_opportunities": len(opps),
+            "missed_same_drone": missed_same,
+            "missed_cross_drone": len(missed) - missed_same,
             "all_solved": ok, "per_drone": per_drone,
         }
         with open(args.out, "w") as f:

@@ -166,6 +166,13 @@ class FrontendParams:
     # revisit recall on the table — VERDICT r3 weak #5)
     verify_batch: bool = True
     max_loops_per_query: int = 2
+    # geometric override: accept a candidate below the NetVLAD similarity
+    # gate when PnP finds at least this many inliers (0 disables). The
+    # reference gates retrieval by similarity because verification was
+    # the expensive stage on a TX2 (loop_detector.cpp:203-242); the
+    # batched verify already scored every candidate above the floor, so
+    # geometry — the much stronger evidence — can overrule retrieval.
+    geometric_override_matches: int = 0
 
 
 @dataclass

@@ -109,6 +109,51 @@ def query_topk2(db_a: PlaceDB, db_b: PlaceDB, desc: jnp.ndarray,
     return ia, sa, ib, sb
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def query2_add_batch(db_a: PlaceDB, db_b: PlaceDB, descs: jnp.ndarray,
+                     metas: jnp.ndarray, add_sel: jnp.ndarray, *,
+                     k: int = 5):
+    """Q queries against BOTH databases + masked ring-buffer insert, all
+    as ONE dispatch.
+
+    descs: (Q, D) unit query descriptors; metas: (Q, 4) i32
+    [drone, frame, guard_a, guard_b]; add_sel: (Q,) i32 — 0 query-only,
+    1 insert into db_a, 2 insert into db_b. Inserts happen AFTER the
+    queries (batch members don't see each other — the serving batch is
+    one instant). Returns (idx_a, sim_a, idx_b, sim_b, db_a', db_b').
+
+    Replaces per-keyframe query + add dispatch pairs: each dispatch +
+    download is a ~35 ms round trip over the remote-TPU tunnel.
+    """
+    def one(db, guard_col):
+        sims = descs @ db.desc.T                            # (Q, N) — MXU
+        recent = (db.drone_id[None, :] == metas[:, 0:1]) & (
+            jnp.abs(db.frame_id[None, :] - metas[:, 1:2])
+            < metas[:, guard_col:guard_col + 1])
+        sims = jnp.where(db.valid[None, :] & ~recent, sims, -jnp.inf)
+        top_sim, top_idx = jax.lax.top_k(sims, k)
+        return top_idx.astype(jnp.int32), top_sim
+
+    ia, sa = one(db_a, 2)
+    ib, sb = one(db_b, 3)
+
+    def insert(db, sel_val):
+        m = add_sel == sel_val
+        rank = jnp.cumsum(m) - 1                            # insert order
+        cap = db.desc.shape[0]
+        slot = jnp.where(m, (db.cursor + rank) % cap, cap)  # OOB → drop
+        return PlaceDB(
+            desc=db.desc.at[slot].set(
+                descs.astype(db.desc.dtype), mode="drop"),
+            drone_id=db.drone_id.at[slot].set(metas[:, 0], mode="drop"),
+            frame_id=db.frame_id.at[slot].set(metas[:, 1], mode="drop"),
+            valid=db.valid.at[slot].set(True, mode="drop"),
+            cursor=db.cursor + jnp.sum(m),
+        )
+
+    return ia, sa, ib, sb, insert(db_a, 1), insert(db_b, 2)
+
+
 @jax.jit
 def query_batch(db: PlaceDB, desc: jnp.ndarray, query_drone: jnp.ndarray,
                 query_frame: jnp.ndarray, *,

@@ -146,6 +146,93 @@ def consistency_mask(
     return (smd < thres) & same_pair & valid[:, None] & valid[None, :]
 
 
+@functools.partial(jax.jit, static_argnames=("vo_cov_pos_per_meter",
+                                             "vo_cov_yaw_per_meter"))
+def consistency_mask_bits(
+    frame_a, drone_a, frame_b, drone_b, dpose, cov_diag, valid,
+    vio, cumlen, thres,
+    *, vo_cov_pos_per_meter: float = 0.002,
+    vo_cov_yaw_per_meter: float = 0.0001,
+) -> jnp.ndarray:
+    """consistency_mask with the (L, L) bool packed to (L, L/8) uint8 on
+    device — an 8x smaller transfer (a 2k-loop mask is 4 MB of bools but
+    512 KB of bits; the wire runs ~30 MB/s)."""
+    mask = consistency_mask(
+        frame_a, drone_a, frame_b, drone_b, dpose, cov_diag, valid,
+        vio, cumlen, thres,
+        vo_cov_pos_per_meter=vo_cov_pos_per_meter,
+        vo_cov_yaw_per_meter=vo_cov_yaw_per_meter)
+    return jnp.packbits(mask, axis=1)
+
+
+def pcm_launch_all(loops: LoopSet, vio: np.ndarray, *,
+                   pcm_thres: float = 0.6,
+                   vo_cov_pos_per_meter: float = 0.002,
+                   vo_cov_yaw_per_meter: float = 0.0001) -> dict:
+    """Async phase 1 of an all-pairs PCM pass: pad, dispatch the
+    consistency kernel, return a handle WITHOUT waiting. The device
+    executes while the caller does other work (e.g. the LM solve);
+    ``pcm_finish_all`` downloads + runs the max-cliques later. This is
+    how the online estimator keeps the consistency pass off the solve
+    tick's critical path (the kernel round is RTT-bound over a remote
+    tunnel)."""
+    n = loops.frame_a.shape[0]
+    vio = np.asarray(vio, np.float32)
+    seg = np.linalg.norm(np.diff(vio[:, :, :3], axis=0), axis=-1)
+    cumlen = np.concatenate([np.zeros((1, seg.shape[1])),
+                             np.cumsum(seg, 0)], 0).astype(np.float32)
+    Lb = 64
+    while Lb < n:
+        Lb *= 2
+    Fb = max(64, ((vio.shape[0] + 63) // 64) * 64)
+
+    def pad1(x, fill=0):
+        out = np.full((Lb,) + x.shape[1:], fill, x.dtype)
+        out[:n] = x
+        return out
+
+    vio_p = np.zeros((Fb,) + vio.shape[1:], vio.dtype)
+    vio_p[: vio.shape[0]] = vio
+    cum_p = np.zeros((Fb,) + cumlen.shape[1:], cumlen.dtype)
+    cum_p[: cumlen.shape[0]] = cumlen
+    valid = np.zeros(Lb, bool)
+    valid[:n] = True
+    bits = consistency_mask_bits(
+        pad1(loops.frame_a), pad1(loops.drone_a),
+        pad1(loops.frame_b), pad1(loops.drone_b),
+        pad1(loops.dpose), pad1(loops.cov_diag, 1), valid,
+        vio_p, cum_p, jnp.float32(pcm_thres),
+        vo_cov_pos_per_meter=vo_cov_pos_per_meter,
+        vo_cov_yaw_per_meter=vo_cov_yaw_per_meter)
+    return {"bits": bits, "n": n, "Lb": Lb, "loops": loops}
+
+
+def pcm_finish_all(handle: dict) -> "PCMResult":
+    """Phase 2: download the bit mask (usually ready) + per-pair
+    max-cliques. Equivalent to pcm_filter(..., redundant=True,
+    return_smd=False) over the launched loop set."""
+    loops, n, Lb = handle["loops"], handle["n"], handle["Lb"]
+    consistent = np.unpackbits(
+        np.asarray(handle["bits"]), axis=1, count=Lb)[:n, :n].astype(bool)
+    np.fill_diagonal(consistent, False)
+    good = np.zeros(n, bool)
+    pair_inliers: Dict[Tuple[int, int], np.ndarray] = {}
+    pairs = {(int(a), int(b)) for a, b in zip(loops.drone_a, loops.drone_b)}
+    for pair in sorted(pairs):
+        idx = np.flatnonzero((loops.drone_a == pair[0])
+                             & (loops.drone_b == pair[1]))
+        if idx.size == 1:
+            good[idx] = True
+            pair_inliers[pair] = idx
+            continue
+        subm = consistent[np.ix_(idx, idx)]
+        clique = max_clique(subm)
+        sel = idx[clique]
+        good[sel] = True
+        pair_inliers[pair] = sel
+    return PCMResult(good, pair_inliers, None)
+
+
 @dataclass
 class PCMResult:
     good_mask: np.ndarray                 # (L,) bool
@@ -204,7 +291,17 @@ def pcm_filter(
         def _bucket(k, step):
             return max(step, ((k + step - 1) // step) * step)
 
-        Lb = _bucket(n, 64)
+        def _bucket_pow2(k, lo=64):
+            # power-of-two loop buckets: the incremental per-pair path
+            # feeds ever-varying subset sizes, and every distinct shape
+            # is a fresh multi-second compile over a remote-TPU tunnel —
+            # pow2 caps the variant count at ~6
+            b = lo
+            while b < k:
+                b *= 2
+            return b
+
+        Lb = _bucket_pow2(n)
         Fb = _bucket(vio.shape[0], 64)
 
         def pad1(x, fill=0):
@@ -218,7 +315,7 @@ def pcm_filter(
         cum_p[: cumlen.shape[0]] = cumlen
         valid = np.zeros(Lb, bool)
         valid[:n] = True
-        mask = consistency_mask(
+        bits = consistency_mask_bits(
             pad1(loops.frame_a), pad1(loops.drone_a),
             pad1(loops.frame_b), pad1(loops.drone_b),
             pad1(loops.dpose), pad1(loops.cov_diag, 1), valid,
@@ -226,7 +323,11 @@ def pcm_filter(
             vo_cov_pos_per_meter=vo_cov_pos_per_meter,
             vo_cov_yaw_per_meter=vo_cov_yaw_per_meter,
         )
-        consistent = np.array(mask[:n, :n])    # copy: jax buffers are RO
+        # download the FULL padded bit block and slice on host: a device
+        # slice bits[:n] with per-call n compiles a fresh (tiny) XLA
+        # program each tick — ~0.5 s over the remote tunnel
+        consistent = np.unpackbits(
+            np.asarray(bits), axis=1, count=Lb)[:n, :n].astype(bool)
         np.fill_diagonal(consistent, False)
     sub_pos = {int(g): i for i, g in enumerate(sub)}
 

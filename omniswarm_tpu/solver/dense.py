@@ -335,19 +335,21 @@ def assemble_dense(graph: DenseGraph, poses: jnp.ndarray, *,
         gvec += jnp.sum(wja4 * r_r[..., None], axis=2)
         gvec += jnp.sum(wjb4 * r_r[..., None], axis=1)
 
-    # detections
-    r_d, Ja_d, Jb_d, w_d, cost_d = _det_terms(
-        graph, poses, huber_delta, det_sphere_std, det_inv_dep_std)
-    cost += cost_d
-    wJa = Ja_d * w_d[..., None, None]
-    wJb = Jb_d * w_d[..., None, None]
-    diag += jnp.sum(jnp.einsum("fabki,fabkj->fabij", wJa, Ja_d), axis=2)
-    diag += jnp.sum(jnp.einsum("fabki,fabkj->fabij", wJb, Jb_d), axis=1)
-    Bab = jnp.einsum("fabki,fabkj->fabij", wJa, Jb_d)
-    intra += Bab
-    intra += jnp.swapaxes(jnp.swapaxes(Bab, -1, -2), 1, 2)
-    gvec += jnp.sum(jnp.einsum("fabki,fabk->fabi", wJa, r_d), axis=2)
-    gvec += jnp.sum(jnp.einsum("fabki,fabk->fabi", wJb, r_d), axis=1)
+    # detections (det grids are None when the window has none — see
+    # assemble_blocks)
+    if graph.det_dir is not None:
+        r_d, Ja_d, Jb_d, w_d, cost_d = _det_terms(
+            graph, poses, huber_delta, det_sphere_std, det_inv_dep_std)
+        cost += cost_d
+        wJa = Ja_d * w_d[..., None, None]
+        wJb = Jb_d * w_d[..., None, None]
+        diag += jnp.sum(jnp.einsum("fabki,fabkj->fabij", wJa, Ja_d), axis=2)
+        diag += jnp.sum(jnp.einsum("fabki,fabkj->fabij", wJb, Jb_d), axis=1)
+        Bab = jnp.einsum("fabki,fabkj->fabij", wJa, Jb_d)
+        intra += Bab
+        intra += jnp.swapaxes(jnp.swapaxes(Bab, -1, -2), 1, 2)
+        gvec += jnp.sum(jnp.einsum("fabki,fabk->fabi", wJa, r_d), axis=2)
+        gvec += jnp.sum(jnp.einsum("fabki,fabk->fabi", wJb, r_d), axis=1)
 
     # --- odometry chain: diag at f and f+1, off-diag (f, f+1) ----------
     r_o, Ja_o, Jb_o, w_o, cost_o = _odom_terms(graph, poses, F)
@@ -610,7 +612,7 @@ lm_solve_dense_batched = jax.jit(
 
 def assemble_blocks(graph: DenseGraph, poses: jnp.ndarray, *,
                     huber_delta: float = 1.0, det_sphere_std: float = 0.1,
-                    det_inv_dep_std: float = 0.5):
+                    det_inv_dep_std: float = 0.5, loops_dense: bool = True):
     """Normal equations in frame-block form — F-minor (lane-major) layout.
 
     Returns (A (F, m, m) diagonal blocks, Boff (F-1, m, m) odometry
@@ -696,50 +698,56 @@ def assemble_blocks(graph: DenseGraph, poses: jnp.ndarray, *,
         g += jnp.sum(wjb_r * r_r[None], axis=1)
 
     # --- detections: bearing + inverse depth ----------------------------
-    ddir = graph.det_dir.transpose(3, 1, 2, 0)           # (3, Da, Db, F)
-    dtb = graph.det_tb.transpose(3, 4, 1, 2, 0)          # (2, 3, Da, Db, F)
-    dinv = graph.det_invdep.transpose(1, 2, 0)
-    dvalid = graph.det_valid.transpose(1, 2, 0)
-    dhas = graph.det_has_depth.transpose(1, 2, 0).astype(dtype)
-    c = jnp.cos(ya)[:, None, :]                          # (Da, 1, F)
-    s = jnp.sin(ya)[:, None, :]
-    diffb = -diff                                        # b - a
-    relx = c * diffb[0] + s * diffb[1]
-    rely = -s * diffb[0] + c * diffb[1]
-    rel = jnp.stack([relx, rely, diffb[2]], 0)           # (3, Da, Db, F)
-    n = jnp.sqrt(jnp.sum(rel * rel, 0) + 1e-12)
-    unit = rel / n[None]
-    err3 = unit - ddir
-    res01 = jnp.sum(dtb * err3[None], axis=1) / det_sphere_std
-    res2 = (dinv - 1.0 / n) / det_inv_dep_std * dhas
-    rd = jnp.concatenate([res01, res2[None]], 0)         # (3k, Da, Db, F)
-    P = (jnp.eye(3, dtype=dtype)[:, :, None, None, None]
-         - unit[:, None] * unit[None, :]) / n[None, None]
-    dres01 = jnp.sum(dtb[:, :, None] * P[None], axis=1) / det_sphere_std
-    dres2 = unit / (n * n)[None] / det_inv_dep_std * dhas[None]
-    dres = jnp.concatenate([dres01, dres2[None]], 0)     # (3k, 3i, Da, Db, F)
-    Jb0 = dres[:, 0] * c + dres[:, 1] * (-s)             # chain through R(-ya)
-    Jb1 = dres[:, 0] * s + dres[:, 1] * c
-    Jb2 = dres[:, 2]
-    drel_dya = jnp.stack([rely, -relx, jnp.zeros_like(relx)], 0)
-    Jya = jnp.sum(dres * drel_dya[None, :], axis=1)      # (3k, Da, Db, F)
-    Jb_d = jnp.stack([Jb0, Jb1, Jb2, jnp.zeros_like(Jb0)], 1)
-    Ja_d = jnp.stack([-Jb0, -Jb1, -Jb2, Jya], 1)         # (k, 4i, Da, Db, F)
-    normd = jnp.sqrt(jnp.sum(rd * rd, 0) + 1e-20)
-    w_d = jnp.where(normd <= delta, 1.0,
-                    delta / jnp.maximum(normd, 1e-12))
-    w_d = w_d * dvalid.astype(dtype)
-    cost += 0.5 * jnp.sum(jnp.where(
-        dvalid, fx.huber_rho(normd * normd, delta), 0.0))
-    wJa = Ja_d * w_d[None, None]
-    wJb = Jb_d * w_d[None, None]
-    jtj = lambda X, Y: jnp.sum(X[:, :, None] * Y[:, None, :], axis=0)
-    diag += jnp.sum(jtj(wJa, Ja_d), axis=3)              # at a (sum over Db)
-    diag += jnp.sum(jtj(wJb, Jb_d), axis=2)              # at b (sum over Da)
-    Bab = jtj(wJa, Jb_d)                                 # (ia, jb, Da, Db, F)
-    Hp += Bab + Bab.transpose(1, 0, 3, 2, 4)
-    g += jnp.sum(jnp.sum(wJa * rd[:, None], 0), axis=2)
-    g += jnp.sum(jnp.sum(wJb * rd[:, None], 0), axis=1)
+    # det grids are None when the window carries no detections — the
+    # (F, D, D, ...) grids were >half the graph upload at F=1024 (a ~1 MB
+    # per-solve transfer over a ~30 MB/s tunnel) and the term math is
+    # dead weight; None is a static pytree difference, so each mode
+    # compiles once
+    if graph.det_dir is not None:
+        ddir = graph.det_dir.transpose(3, 1, 2, 0)       # (3, Da, Db, F)
+        dtb = graph.det_tb.transpose(3, 4, 1, 2, 0)      # (2, 3, Da, Db, F)
+        dinv = graph.det_invdep.transpose(1, 2, 0)
+        dvalid = graph.det_valid.transpose(1, 2, 0)
+        dhas = graph.det_has_depth.transpose(1, 2, 0).astype(dtype)
+        c = jnp.cos(ya)[:, None, :]                      # (Da, 1, F)
+        s = jnp.sin(ya)[:, None, :]
+        diffb = -diff                                    # b - a
+        relx = c * diffb[0] + s * diffb[1]
+        rely = -s * diffb[0] + c * diffb[1]
+        rel = jnp.stack([relx, rely, diffb[2]], 0)       # (3, Da, Db, F)
+        n = jnp.sqrt(jnp.sum(rel * rel, 0) + 1e-12)
+        unit = rel / n[None]
+        err3 = unit - ddir
+        res01 = jnp.sum(dtb * err3[None], axis=1) / det_sphere_std
+        res2 = (dinv - 1.0 / n) / det_inv_dep_std * dhas
+        rd = jnp.concatenate([res01, res2[None]], 0)     # (3k, Da, Db, F)
+        P = (jnp.eye(3, dtype=dtype)[:, :, None, None, None]
+             - unit[:, None] * unit[None, :]) / n[None, None]
+        dres01 = jnp.sum(dtb[:, :, None] * P[None], axis=1) / det_sphere_std
+        dres2 = unit / (n * n)[None] / det_inv_dep_std * dhas[None]
+        dres = jnp.concatenate([dres01, dres2[None]], 0)  # (3k,3i,Da,Db,F)
+        Jb0 = dres[:, 0] * c + dres[:, 1] * (-s)     # chain through R(-ya)
+        Jb1 = dres[:, 0] * s + dres[:, 1] * c
+        Jb2 = dres[:, 2]
+        drel_dya = jnp.stack([rely, -relx, jnp.zeros_like(relx)], 0)
+        Jya = jnp.sum(dres * drel_dya[None, :], axis=1)  # (3k, Da, Db, F)
+        Jb_d = jnp.stack([Jb0, Jb1, Jb2, jnp.zeros_like(Jb0)], 1)
+        Ja_d = jnp.stack([-Jb0, -Jb1, -Jb2, Jya], 1)     # (k,4i,Da,Db,F)
+        normd = jnp.sqrt(jnp.sum(rd * rd, 0) + 1e-20)
+        w_d = jnp.where(normd <= delta, 1.0,
+                        delta / jnp.maximum(normd, 1e-12))
+        w_d = w_d * dvalid.astype(dtype)
+        cost += 0.5 * jnp.sum(jnp.where(
+            dvalid, fx.huber_rho(normd * normd, delta), 0.0))
+        wJa = Ja_d * w_d[None, None]
+        wJb = Jb_d * w_d[None, None]
+        jtj = lambda X, Y: jnp.sum(X[:, :, None] * Y[:, None, :], axis=0)
+        diag += jnp.sum(jtj(wJa, Ja_d), axis=3)          # at a (sum Db)
+        diag += jnp.sum(jtj(wJb, Jb_d), axis=2)          # at b (sum Da)
+        Bab = jtj(wJa, Jb_d)                             # (ia,jb,Da,Db,F)
+        Hp += Bab + Bab.transpose(1, 0, 3, 2, 4)
+        g += jnp.sum(jnp.sum(wJa * rd[:, None], 0), axis=2)
+        g += jnp.sum(jnp.sum(wJb * rd[:, None], 0), axis=1)
 
     # --- ego-motion chain (frame axis F-1, still minor) ------------------
     om = graph.odom_dpose.transpose(2, 1, 0)             # (4, D, F-1)
@@ -816,22 +824,6 @@ def assemble_blocks(graph: DenseGraph, poses: jnp.ndarray, *,
     jb = Jb_l * ws[:, None, None]
     rl = r_l * ws[:, None]
 
-    # U[f, d*4+i, 4k+c] += J^T entries for each loop endpoint
-    U = jnp.zeros((F * m, 4 * L), dtype)
-    col = (jnp.arange(L)[:, None, None] * 4
-           + jnp.arange(4)[None, :, None])               # (L, 4c, 1)
-    col = jnp.broadcast_to(col, (L, 4, 4))
-    row_a = (l.frame_a[:, None, None] * m + l.drone_a[:, None, None] * 4
-             + jnp.arange(4)[None, None, :])             # (L, 1, 4i)
-    row_a = jnp.broadcast_to(row_a, (L, 4, 4))
-    row_b = (l.frame_b[:, None, None] * m + l.drone_b[:, None, None] * 4
-             + jnp.arange(4)[None, None, :])
-    row_b = jnp.broadcast_to(row_b, (L, 4, 4))
-    # ja[k, c, i] goes to U[row_a[k, c, i], col[k, c, i]]
-    U = U.at[row_a.reshape(-1), col.reshape(-1)].add(ja.reshape(-1))
-    U = U.at[row_b.reshape(-1), col.reshape(-1)].add(jb.reshape(-1))
-    U = U.reshape(F, m, 4 * L)
-
     gflat = gvec.reshape(F, m)
     gl = jnp.zeros((F * m,), dtype)
     grow_a = (l.frame_a[:, None] * m + l.drone_a[:, None] * 4
@@ -849,10 +841,139 @@ def assemble_blocks(graph: DenseGraph, poses: jnp.ndarray, *,
     A = A + jnp.eye(m, dtype=dtype)[None] * (1.0 - mflat)[:, :, None] * \
         jnp.eye(m, dtype=dtype)[None]
     Boff = Boff * mflat[:-1, :, None] * mflat[1:, None, :]
-    U = U * mflat[:, :, None]
     gflat = gflat * mflat
 
+    if not loops_dense:
+        # sparse loop form for the large-L PCG path: weighted Jacobian
+        # blocks + flat row indices. Building/sweeping the dense
+        # (F, m, 4L) U and the (4L, 4L) capacitance is O(F·m·L + L^3) —
+        # at 2k loops the capacitance Newton-Schulz alone is ~100 ms/LM
+        # iteration on v5e; the sparse form is O(L) per matvec.
+        ma = mflat.reshape(-1)[grow_a]                   # (L, 4) param mask
+        mb = mflat.reshape(-1)[grow_b]
+        ja_s = ja * ma[:, None, :]
+        jb_s = jb * mb[:, None, :]
+        diagU = jnp.zeros((F * m,), dtype)
+        diagU = diagU.at[grow_a.reshape(-1)].add(
+            jnp.sum(ja_s * ja_s, axis=1).reshape(-1))
+        diagU = diagU.at[grow_b.reshape(-1)].add(
+            jnp.sum(jb_s * jb_s, axis=1).reshape(-1))
+        sparse = SparseLoops(ja=ja_s, jb=jb_s, rows_a=grow_a,
+                             rows_b=grow_b, diag=diagU.reshape(F, m))
+        return A, Boff, gflat, sparse, cost
+
+    # U[f, d*4+i, 4k+c] += J^T entries for each loop endpoint
+    U = jnp.zeros((F * m, 4 * L), dtype)
+    col = (jnp.arange(L)[:, None, None] * 4
+           + jnp.arange(4)[None, :, None])               # (L, 4c, 1)
+    col = jnp.broadcast_to(col, (L, 4, 4))
+    row_a = (l.frame_a[:, None, None] * m + l.drone_a[:, None, None] * 4
+             + jnp.arange(4)[None, None, :])             # (L, 1, 4i)
+    row_a = jnp.broadcast_to(row_a, (L, 4, 4))
+    row_b = (l.frame_b[:, None, None] * m + l.drone_b[:, None, None] * 4
+             + jnp.arange(4)[None, None, :])
+    row_b = jnp.broadcast_to(row_b, (L, 4, 4))
+    # ja[k, c, i] goes to U[row_a[k, c, i], col[k, c, i]]
+    U = U.at[row_a.reshape(-1), col.reshape(-1)].add(ja.reshape(-1))
+    U = U.at[row_b.reshape(-1), col.reshape(-1)].add(jb.reshape(-1))
+    U = U.reshape(F, m, 4 * L)
+    U = U * mflat[:, :, None]
+
     return A, Boff, gflat, U, cost
+
+
+class SparseLoops(NamedTuple):
+    """Loop factors in sparse endpoint-block form (the large-L linear
+    path). ja/jb: (L, 4, 4) weighted Jacobian blocks (residual row,
+    param col), rows_a/rows_b: (L, 4) flat row indices into the (F*m,)
+    state, diag: (F, m) Gauss-Newton diagonal of the loop term."""
+
+    ja: jnp.ndarray
+    jb: jnp.ndarray
+    rows_a: jnp.ndarray
+    rows_b: jnp.ndarray
+    diag: jnp.ndarray
+
+
+@highp
+def _pcg_solve_core(A, Boff, g, sl: SparseLoops, lam, warm=None, *,
+                    pack: int = 1, fused_levels: bool = False,
+                    cg_iters: int = 24):
+    """Damped (T + J_loops^T J_loops) dx = -g by preconditioned CG.
+
+    The Woodbury path materializes a (4L, 4L) capacitance and
+    Newton-Schulz-inverts it — O(L^3) per LM iteration (~100 ms at 2k
+    loops on v5e, dwarfing the 2 ms BT solve). Here the loop term is
+    applied SPARSELY (gather 2 endpoint blocks, two (L,4,4) einsums,
+    scatter-add — O(L) bytes) inside a fixed-trip-count CG preconditioned
+    by the block-tridiagonal cyclic-reduction factorization of T. An
+    inexact step only makes LM damp slightly differently — accept/reject
+    still evaluates the TRUE cost. Ceres solves the same systems with
+    sparse Cholesky; CG + BT preconditioner is the form that maps to the
+    MXU (solver.cpp:1695-1719).
+
+    Returns (dx, warm_out); warm threads the Newton-Schulz level/tail
+    state exactly like _smw_solve_core (no capacitance entry).
+    """
+    from omniswarm_tpu.solver.block_tridiag import (
+        bt_apply, bt_factor, bt_warm_state, pack_bt_cols, pack_bt_mats,
+        unpack_bt_cols)
+
+    F, m = A.shape[0], A.shape[1]
+    diagT = jnp.diagonal(A, axis1=-2, axis2=-1)
+    d = lam * jnp.maximum(diagT + sl.diag, 1e-6)
+    Ad = A + d[..., None] * jnp.eye(m, dtype=A.dtype)[None]
+    if pack > 1:
+        Adp, Bp, _ = pack_bt_mats(Ad, Boff, pack)
+    else:
+        Adp, Bp = Ad, Boff
+    fac = bt_factor(Adp, Bp, ns_iters=8 if pack == 1 else 12,
+                    direct_threshold=4,
+                    warm=None if warm is None else warm[:2],
+                    fused=fused_levels)
+
+    def precond(r):
+        rp = pack_bt_cols(r[..., None], pack) if pack > 1 else r[..., None]
+        y = bt_apply(fac, rp)
+        return (unpack_bt_cols(y, pack, F) if pack > 1 else y)[..., 0]
+
+    def hmul(v):
+        """Damped-Hessian matvec: BT part + sparse loop part."""
+        y = jnp.einsum("fij,fj->fi", Ad, v)
+        y = y.at[:-1].add(jnp.einsum("fij,fj->fi", Boff, v[1:]))
+        y = y.at[1:].add(jnp.einsum("fji,fj->fi", Boff, v[:-1]))
+        vf = v.reshape(-1)
+        t = (jnp.einsum("kci,ki->kc", sl.ja, vf[sl.rows_a])
+             + jnp.einsum("kci,ki->kc", sl.jb, vf[sl.rows_b]))
+        add = jnp.zeros_like(vf)
+        add = add.at[sl.rows_a.reshape(-1)].add(
+            jnp.einsum("kci,kc->ki", sl.ja, t).reshape(-1))
+        add = add.at[sl.rows_b.reshape(-1)].add(
+            jnp.einsum("kci,kc->ki", sl.jb, t).reshape(-1))
+        return y + add.reshape(F, m)
+
+    b = -g
+    x = jnp.zeros_like(b)
+    r = b
+    z = precond(r)
+    p_ = z
+    rz = jnp.sum(r * z)
+
+    def step(_, carry):
+        x, r, p_, rz = carry
+        hp = hmul(p_)
+        alpha = rz / jnp.maximum(jnp.sum(p_ * hp), 1e-30)
+        x = x + alpha * p_
+        r = r - alpha * hp
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p_ = z + beta * p_
+        return x, r, p_, rz_new
+
+    x, r, p_, rz = jax.lax.fori_loop(0, cg_iters, step, (x, r, p_, rz))
+    lvl, tail = bt_warm_state(fac)
+    return x.reshape(-1), (lvl, tail)
 
 
 @highp
@@ -973,13 +1094,21 @@ def lm_solve_bt_impl(graph: DenseGraph, poses0: jnp.ndarray, *,
                      function_tolerance: float = 1e-6,
                      exact_linear: bool = False,
                      pack: Optional[int] = None,
-                     fused: Optional[bool] = None):
+                     fused: Optional[bool] = None,
+                     linear: str = "auto",
+                     cg_iters: int = 24):
     """LM with the block-tridiagonal + Woodbury linear solver.
 
     ``fused``: override the Pallas fused-reduction-level choice (default:
     on for packed blocks on TPU). bench.py uses fused=False at identical
     pack to assert numerical parity of the fused path on real hardware
     (the CI tier only exercises the kernel in interpret mode).
+
+    ``linear``: "smw" (Woodbury capacitance — exact step), "pcg"
+    (BT-preconditioned CG with sparse loop application — inexact step,
+    O(L) instead of O(L^3) per iteration), or "auto": pcg once the
+    capacitance would exceed 1,536 columns (L > 384 bucketed loops),
+    where its Newton-Schulz inversion starts to dominate the iteration.
 
     Per iteration: one cyclic-reduction factor-solve with (1 + 4L) RHS and
     one small (4L, 4L) capacitance solve — no dense (P, P) Hessian, no
@@ -989,13 +1118,17 @@ def lm_solve_bt_impl(graph: DenseGraph, poses0: jnp.ndarray, *,
     from omniswarm_tpu.solver.gauss_newton import SolveResult, _apply_step
 
     F, D = graph.pose_valid.shape
+    Lb = graph.loops.valid.shape[0]
+    use_pcg = (linear == "pcg") or (
+        linear == "auto" and not exact_linear and 4 * Lb > 1536)
 
     assemble = functools.partial(
         assemble_blocks, graph, huber_delta=huber_delta,
-        det_sphere_std=det_sphere_std, det_inv_dep_std=det_inv_dep_std)
+        det_sphere_std=det_sphere_std, det_inv_dep_std=det_inv_dep_std,
+        loops_dense=not use_pcg)
 
     A0, B0, g0, U0, cost0 = assemble(poses0)
-    if not exact_linear:
+    if not exact_linear and not use_pcg:
         # the Woodbury columns sweep in bf16 anyway; carrying U bf16 halves
         # the accept-select and state traffic on the largest array
         U0 = U0.astype(jnp.bfloat16)
@@ -1004,9 +1137,14 @@ def lm_solve_bt_impl(graph: DenseGraph, poses0: jnp.ndarray, *,
     # fused Pallas reduction levels: measured 1.8x at packed sizes
     # (80-wide blocks, large grids) but slower for thin blocks and under
     # vmap — only the packed single-instance path requests them
-    smw_solve = functools.partial(
-        _smw_solve_core, exact=exact_linear, pack=pk1,
-        fused_levels=(pk1 > 1) if fused is None else fused)
+    if use_pcg:
+        smw_solve = functools.partial(
+            _pcg_solve_core, pack=pk1, cg_iters=cg_iters,
+            fused_levels=(pk1 > 1) if fused is None else fused)
+    else:
+        smw_solve = functools.partial(
+            _smw_solve_core, exact=exact_linear, pack=pk1,
+            fused_levels=(pk1 > 1) if fused is None else fused)
     lam0 = jnp.asarray(1e-4, poses0.dtype)
     # cold Newton-Schulz factor seeds the warm chain (dx discarded)
     _, warm0 = smw_solve(A0, B0, g0, U0, lam0, None)
@@ -1025,7 +1163,9 @@ def lm_solve_bt_impl(graph: DenseGraph, poses0: jnp.ndarray, *,
         A = jnp.where(accept, An, A)
         B = jnp.where(accept, Bn, B)
         g = jnp.where(accept, gn, g)
-        U = jnp.where(accept, Un.astype(U.dtype), U)
+        # U is an array (smw) or a SparseLoops pytree (pcg)
+        U = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(accept, n.astype(o.dtype), o), Un, U)
         out_cost = jnp.where(accept, new_cost, cost)
         lam = jnp.clip(jnp.where(accept, lam * 0.3, lam * 5.0), 1e-10, 1e10)
         converged = accept & (cost - new_cost <= function_tolerance * cost)
@@ -1045,7 +1185,7 @@ lm_solve_bt = jax.jit(
     lm_solve_bt_impl,
     static_argnames=("max_iterations", "huber_delta", "det_sphere_std",
                      "det_inv_dep_std", "function_tolerance", "exact_linear",
-                     "pack", "fused"),
+                     "pack", "fused", "linear", "cg_iters"),
 )
 
 

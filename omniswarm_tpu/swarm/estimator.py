@@ -1100,6 +1100,11 @@ class SwarmEstimator:
     def finalize_solve(self, prep: Dict, res) -> Dict:
         """Post phase: estimate/telemetry/init-state update."""
         p = self.params
+        # fold in the async PCM consistency pass that overlapped the
+        # device solve (fastbuild launches it during prepare_solve)
+        from omniswarm_tpu.swarm.fastbuild import consume_pcm_pending
+
+        consume_pcm_pending(self)
         self._last_dense_graph = prep["dense_graph"]
         self._last_padded_poses = np.asarray(res.poses)
         # covariance queries must index the SNAPSHOT graph, not live state:

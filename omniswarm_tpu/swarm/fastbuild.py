@@ -258,6 +258,31 @@ def _loop_keys_vec(soa) -> np.ndarray:
     return np.concatenate([lo, hi], 1)
 
 
+def consume_pcm_pending(est) -> None:
+    """Fold the previous async PCM launch into the verdict cache.
+
+    Called from finalize_solve (the kernel overlapped the device solve)
+    and defensively at the top of the next filter pass. Verdicts land
+    keyed by loop identity, so window slides between launch and consume
+    are harmless."""
+    pending = getattr(est, "_pcm_pending", None)
+    if pending is None:
+        return
+    est._pcm_pending = None
+    from omniswarm_tpu.robust.pcm import pcm_finish_all
+
+    res = pcm_finish_all(pending["handle"])
+    cache = est._pcm_pair_cache
+    for pair, h in pending["pair_sig"].items():
+        cache[pair] = {"h": h, "good": set()}
+    keys = pending["keys"]
+    pairs = pending["pairs"]
+    for j in np.flatnonzero(res.good_mask):
+        cache[pairs[j]]["good"].add(tuple(keys[j]))
+    est.pair_inliers = {pair: set(ent["good"])
+                        for pair, ent in cache.items()}
+
+
 def _filter_loops_fast(est, grids: WindowGrids, act: np.ndarray,
                        ids: List[int], poses_sel: np.ndarray,
                        valid_sel: np.ndarray):
@@ -353,47 +378,130 @@ def _filter_loops_fast(est, grids: WindowGrids, act: np.ndarray,
     if not p.pcm_enable:
         return _average_same_pair_np(anchored)
 
-    # ---- PCM (batched) + decentralized inlier bookkeeping --------------
-    # canonical pair orientation for the consistency matrix
-    sw = anchored["ca"] > anchored["cb"]
-    dp_can = np.where(sw[:, None], _invert_pose_rows(anchored["dpose"]),
-                      anchored["dpose"])
-    loopset = LoopSet(
-        frame_a=np.where(sw, anchored["fb"], anchored["fa"]).astype(np.int32),
-        drone_a=np.where(sw, anchored["cb"], anchored["ca"]).astype(np.int32),
-        frame_b=np.where(sw, anchored["fa"], anchored["fb"]).astype(np.int32),
-        drone_b=np.where(sw, anchored["ca"], anchored["cb"]).astype(np.int32),
-        dpose=dp_can.astype(np.float32),
-        cov_diag=np.stack([anchored["ps"] ** 2] * 3
-                          + [anchored["ys"] ** 2], 1).astype(np.float32),
-    )
-    vio_grid = _vio_grid_np(poses_sel, valid_sel)
-    self_col = ids.index(est.self_id) if est.self_id in ids else -1
-    res = pcm_filter(
-        loopset, vio_grid, pcm_thres=p.pcm_thres_4dof,
-        self_id=self_col, redundant=p.pcm_redundant,
-        vo_cov_pos_per_meter=p.vo_cov_pos_per_meter,
-        vo_cov_yaw_per_meter=p.vo_cov_yaw_per_meter, return_smd=False)
-    good = np.array(res.good_mask)
-
+    # ---- PCM (batched, INCREMENTAL) + decentralized bookkeeping --------
+    # A loop's PCM verdict depends on its pair's anchored loop set and the
+    # VIO trajectory between anchor times — both stable in TIME space as
+    # the window slides. Verdicts are cached per drone-pair keyed by a
+    # signature of (loop keys, anchor keyframe times); only pairs whose
+    # signature changed (new loop, eviction-forced re-anchor) re-enter
+    # the consistency kernel + max-clique. Steady state at ~1 Hz: one
+    # dirty pair per solve instead of the full 2k-loop matrix (the full
+    # kernel + bits download alone was ~46 ms of a 117 ms host build).
     keys_all = _loop_keys_vec(soa)[sel]          # (n, 4) canonical rows
     raw_lo = np.minimum(soa["da"], soa["db"])[sel]
     raw_hi = np.maximum(soa["da"], soa["db"])[sel]
+    n_anch = sel.size
+    t_kfa = np.rint(grids.times[np.clip(anchored["fa"], 0,
+                                        grids.nrows - 1)] * 100)
+    t_kfb = np.rint(grids.times[np.clip(anchored["fb"], 0,
+                                        grids.nrows - 1)] * 100)
+    sig = np.concatenate(
+        [keys_all, t_kfa[:, None].astype(np.int64),
+         t_kfb[:, None].astype(np.int64)], 1)
 
-    est.pair_inliers = {}
-    for (c1, c2), idx in res.pair_inliers.items():
-        pair = tuple(sorted((ids[c1], ids[c2])))
-        if p.pcm_redundant or est.self_id in pair:
-            est.pair_inliers[pair] = {tuple(keys_all[i]) for i in idx}
+    cache = getattr(est, "_pcm_pair_cache", None)
+    if cache is None:
+        cache = est._pcm_pair_cache = {}
+    consume_pcm_pending(est)         # results of the previous async launch
 
-    if not p.pcm_redundant:
-        # adopt peer-broadcast inlier sets for foreign pairs
-        foreign = np.flatnonzero((raw_lo != est.self_id)
-                                 & (raw_hi != est.self_id))
-        for i in foreign:
-            ext = est.external_inliers.get((int(raw_lo[i]), int(raw_hi[i])))
-            if ext is not None:
-                good[i] = tuple(keys_all[i]) in ext
+    pair_rows: dict = {}
+    for i in range(n_anch):
+        pair_rows.setdefault((int(raw_lo[i]), int(raw_hi[i])),
+                             []).append(i)
+    mine = {pair: rows for pair, rows in pair_rows.items()
+            if p.pcm_redundant or est.self_id in pair}
+    # cold pairs (never classified) must compute synchronously; stale
+    # pairs (signature changed since the cached verdicts) serve the OLD
+    # verdicts this tick and relaunch the consistency kernel async — it
+    # executes while the LM solve runs, and finalize_solve consumes it.
+    # One-tick verdict staleness is ordinary eventual consistency here:
+    # peer inlier sets already arrive with arbitrary comm delays
+    # (swarm_outlier_rejection.cpp:37-56).
+    cold_rows, stale_rows = [], []
+    pair_sig: dict = {}
+    for pair, rows in mine.items():
+        rows_a = np.asarray(rows)
+        h = hash(sig[rows_a][np.lexsort(sig[rows_a].T[::-1])].tobytes())
+        ent = cache.get(pair)
+        if ent is not None and ent["h"] == h:
+            continue
+        pair_sig[pair] = h
+        (cold_rows if ent is None else stale_rows).extend(rows)
+    # drop cache entries for pairs that vanished from the window
+    for pair in [q for q in cache if q not in mine]:
+        del cache[pair]
+
+    def _subset_loopset(rows):
+        d = np.asarray(sorted(rows))
+        sw = anchored["ca"][d] > anchored["cb"][d]
+        dp_d = anchored["dpose"][d]
+        dp_can = np.where(sw[:, None], _invert_pose_rows(dp_d), dp_d)
+        return d, LoopSet(
+            frame_a=np.where(sw, anchored["fb"][d],
+                             anchored["fa"][d]).astype(np.int32),
+            drone_a=np.where(sw, anchored["cb"][d],
+                             anchored["ca"][d]).astype(np.int32),
+            frame_b=np.where(sw, anchored["fa"][d],
+                             anchored["fb"][d]).astype(np.int32),
+            drone_b=np.where(sw, anchored["ca"][d],
+                             anchored["cb"][d]).astype(np.int32),
+            dpose=dp_can.astype(np.float32),
+            cov_diag=np.stack(
+                [anchored["ps"][d] ** 2] * 3
+                + [anchored["ys"][d] ** 2], 1).astype(np.float32))
+
+    from omniswarm_tpu.robust.pcm import pcm_finish_all, pcm_launch_all
+
+    vio_grid = None
+    if cold_rows:
+        vio_grid = _vio_grid_np(poses_sel, valid_sel)
+        d, loopset = _subset_loopset(cold_rows)
+        res = pcm_finish_all(pcm_launch_all(
+            loopset, vio_grid, pcm_thres=p.pcm_thres_4dof,
+            vo_cov_pos_per_meter=p.vo_cov_pos_per_meter,
+            vo_cov_yaw_per_meter=p.vo_cov_yaw_per_meter))
+        for pair in {(int(raw_lo[i]), int(raw_hi[i])) for i in d}:
+            cache[pair] = {"h": pair_sig[pair], "good": set()}
+        for j in np.flatnonzero(res.good_mask):
+            i = int(d[j])
+            cache[(int(raw_lo[i]), int(raw_hi[i]))]["good"].add(
+                tuple(keys_all[i]))
+    if stale_rows:
+        if vio_grid is None:
+            vio_grid = _vio_grid_np(poses_sel, valid_sel)
+        d, loopset = _subset_loopset(stale_rows)
+        handle = pcm_launch_all(
+            loopset, vio_grid, pcm_thres=p.pcm_thres_4dof,
+            vo_cov_pos_per_meter=p.vo_cov_pos_per_meter,
+            vo_cov_yaw_per_meter=p.vo_cov_yaw_per_meter)
+        est._pcm_pending = {
+            "handle": handle,
+            "keys": keys_all[d],
+            "pairs": [(int(raw_lo[i]), int(raw_hi[i])) for i in d],
+            "pair_sig": {q: pair_sig[q] for q in
+                         {(int(raw_lo[i]), int(raw_hi[i])) for i in d}},
+        }
+
+    est.pair_inliers = {pair: set(ent["good"])
+                        for pair, ent in cache.items()}
+
+    good = np.zeros(n_anch, bool)
+    for pair, rows in pair_rows.items():
+        ent = cache.get(pair)
+        if ent is not None:
+            gset = ent["good"]
+            for i in rows:
+                good[i] = tuple(keys_all[i]) in gset
+        else:
+            # foreign pair (non-redundant mode): adopt the peer-broadcast
+            # inlier set, or accept-all when none is known
+            ext = est.external_inliers.get(pair)
+            if ext is None:
+                for i in rows:
+                    good[i] = True
+            else:
+                for i in rows:
+                    good[i] = tuple(keys_all[i]) in ext
 
     keep = np.flatnonzero(good)
     return _average_same_pair_np(
@@ -664,6 +772,11 @@ def build_dense_fast(est) -> Optional[tuple]:
     if dets is None:
         return None
     det_dir, det_tb, det_invdep, det_valid, det_depth = dets
+    if not det_valid.any():
+        # det grids are >half the graph's bytes at large F and all-zero
+        # without detections: None skips both the upload and the term math
+        # (assemble_* gate on det_dir is not None)
+        det_dir = det_tb = det_invdep = det_valid = det_depth = None
 
     # --- antenna offsets ------------------------------------------------
     ant = None

@@ -167,7 +167,12 @@ class LoopCam:
             pts = jnp.where(finite[..., None], pts, 0.0)
             pts_body = pts @ cam_to_body.T
             pts_body = jnp.where(ok[..., None], pts_body, 0.0)
-            return xy_l, desc_l, gdesc, pts_body, ok
+            # f16 wire format halves the download over the remote tunnel
+            # (descriptor sims tolerate ~1e-3; pixels/landmarks well
+            # within f16 range)
+            return (xy_l.astype(jnp.float16), desc_l.astype(jnp.float16),
+                    gdesc.astype(jnp.float16),
+                    pts_body.astype(jnp.float16), ok)
 
         self._fused = jax.jit(impl)
         return True
@@ -236,10 +241,11 @@ class LoopCam:
                           jnp.asarray(lefts.astype(wire, copy=False)),
                           jnp.asarray(rights.astype(wire, copy=False)))
         xy, desc, gdesc, pts_body, ok = (x[:B] for x in jax.device_get(out))
+        gdesc = gdesc.astype(np.float32)
         gdesc = gdesc / np.maximum(
             np.linalg.norm(gdesc, axis=-1, keepdims=True), 1e-8)
         return (xy.astype(np.float32), desc.astype(np.float32),
-                gdesc.astype(np.float32), pts_body.astype(np.float32),
+                gdesc, pts_body.astype(np.float32),
                 ok.astype(bool))
 
     def on_stereo_frame(self, drone_id: int, frame_id: int, t: float,

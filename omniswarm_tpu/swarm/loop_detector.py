@@ -135,6 +135,37 @@ def _verify_batch_kernel(query_packed, cands_packed, seed,
     )(descs_b, valids_b, kps_b, p3ds_b, keys)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("pnp_hyp", "use_hom"))
+def _verify_multi_kernel(qpacks, cpacks, seed,
+                         *, pnp_hyp: int, use_hom: bool,
+                         pnp_err, hom_err):
+    """Verify Q queries × C candidates in ONE dispatch.
+
+    qpacks: (Q, Kb, Cdim+6) f16, cpacks: (Q, C, Kb, Cdim+6) f16 — the
+    serving batch for one comm-scan tick (a node's received remote
+    keyframes, plus its own). Two fused dispatches per tick replace
+    ~3 round trips per keyframe (~35 ms each over the tunnel).
+    """
+    qpacks = qpacks.astype(jnp.float32)
+    cpacks = cpacks.astype(jnp.float32)
+    Q, C = cpacks.shape[:2]
+    keys = jax.random.split(jax.random.PRNGKey(seed), Q * C)
+    keys = keys.reshape((Q, C) + keys.shape[1:])
+
+    def per_query(qp, cp, ks):
+        da, va, ka_, pa = _unpack_kf(qp)
+        db, vb, kb, pb = _unpack_kf(cp)
+        return jax.vmap(
+            lambda d_, v_, k_, p_, key: _verify_body(
+                da, va, ka_, pa, d_, v_, k_, p_, key,
+                pnp_hyp=pnp_hyp, use_hom=use_hom,
+                pnp_err=pnp_err, hom_err=hom_err)
+        )(db, vb, kb, pb, ks)
+
+    return jax.vmap(per_query)(qpacks, cpacks, keys)
+
+
 @dataclass
 class LoopCandidate:
     edge: LoopEdgePacket
@@ -227,6 +258,10 @@ class LoopDetector:
         the batched verify every top-k candidate is already scored, so
         accepting the verified runners-up costs nothing and roughly
         doubles revisit recall (VERDICT r3 weak #5)."""
+        if self.p.verify_batch:
+            # unified serving path: query+insert fused, one verify
+            # dispatch (2 round trips total)
+            return self.on_keyframes_batch([kf], [prevent_adding_db])[0]
         results = self._query_and_verify(kf, nonkeyframe=prevent_adding_db)
         # add AFTER query so a frame never matches itself
         if not prevent_adding_db:
@@ -252,6 +287,160 @@ class LoopDetector:
         return results
 
     # ------------------------------------------------------------------
+    def on_keyframes_batch(self, kfs, prevent_flags=None) -> list:
+        """Process MANY keyframes with TWO fused dispatches total.
+
+        The serving batch for one comm-scan tick: all remote keyframes a
+        node received (plus optionally its own). Dispatch 1 queries both
+        databases for every keyframe AND ring-inserts the batch
+        (placedb.query2_add_batch — queries see the pre-batch database,
+        batch members don't see each other). Dispatch 2 geometrically
+        verifies every (query, candidate) pair (_verify_multi_kernel).
+        Returns a list of lists of accepted LoopCandidates, aligned with
+        ``kfs``. Falls back to the sequential path when verify_batch is
+        off."""
+        p = self.p
+        if prevent_flags is None:
+            prevent_flags = [False] * len(kfs)
+        if not kfs:
+            return []
+        if not p.verify_batch:
+            return [self.on_keyframe_multi(kf, prevent_adding_db=pr)
+                    for kf, pr in zip(kfs, prevent_flags)]
+        n = len(kfs)
+        # bucket the query axis: 1 (the common local-keyframe case) or
+        # multiples of 4 — padding a single query to 4 quadrupled the
+        # verify upload
+        Qb = 1 if n == 1 else ((n + 3) // 4) * 4
+        G = int(np.asarray(kfs[0].global_desc).shape[0])
+        descs = np.zeros((Qb, G), np.float32)
+        metas = np.full((Qb, 4), 1, np.int32)
+        metas[:, 0] = -999                   # pad rows match nothing
+        metas[:, 1] = -1
+        add_sel = np.zeros(Qb, np.int32)
+        use_a = [False] * n
+        use_b = [False] * n
+        for i, (kf, pr) in enumerate(zip(kfs, prevent_flags)):
+            self.num_queries += 1
+            descs[i] = kf.global_desc
+            metas[i] = (kf.drone_id, kf.frame_id, 1, 1)
+            if kf.drone_id != self.self_id:
+                # remote keyframe: match against OUR keyframes only
+                use_a[i] = self._local_count > 0
+                if not pr:
+                    add_sel[i] = 2
+            elif pr:
+                # self non-keyframe: match against remote keyframes only
+                use_b[i] = self._remote_count > 0
+            else:
+                metas[i, 2] = p.match_index_dist
+                use_a[i] = self._local_count > 0
+                use_b[i] = self._remote_count > 0
+                add_sel[i] = 1
+        out = placedb.query2_add_batch(
+            self.local_db, self.remote_db, jnp.asarray(descs),
+            jnp.asarray(metas), jnp.asarray(add_sel),
+            k=p.search_nearest_num)
+        ia, sa, ib, sb = jax.device_get(out[:4])
+        # candidate lists come from the PRE-insert slot dicts (a full ring
+        # buffer may overwrite a just-matched slot otherwise)
+        floor = min(p.netvlad_thres, p.netvlad_init_thres)
+        cand_lists = []
+        for i in range(n):
+            cands = []
+            if use_a[i]:
+                for j, s in zip(ia[i], sa[i]):
+                    if np.isfinite(s) and s >= floor \
+                            and int(j) in self.local_kfs:
+                        cands.append((self.local_kfs[int(j)], float(s)))
+            if use_b[i]:
+                for j, s in zip(ib[i], sb[i]):
+                    if np.isfinite(s) and s >= floor \
+                            and int(j) in self.remote_kfs:
+                        cands.append((self.remote_kfs[int(j)], float(s)))
+            cands.sort(key=lambda t: -t[1])
+            cand_lists.append(cands[:p.search_nearest_num])
+        # commit the inserts: device DBs + host slot dicts/counters
+        self.local_db, self.remote_db = out[4], out[5]
+        for i, (kf, pr) in enumerate(zip(kfs, prevent_flags)):
+            if add_sel[i] == 1:
+                self.local_kfs[self._local_count % p.max_db_size] = kf
+                self._local_count += 1
+            elif add_sel[i] == 2:
+                self.remote_kfs[self._remote_count % p.max_db_size] = kf
+                self._remote_count += 1
+
+        results = [[] for _ in range(n)]
+        if not any(cand_lists):
+            return results
+        # ---- one fused verify over every (query, candidate) pair ----
+        Kb = max(int(o.local_desc.shape[0])
+                 for cl in cand_lists for o, _ in cl)
+        Kb = max(Kb, max(int(kf.local_desc.shape[0]) for kf in kfs),
+                 p.max_keypoints)
+        Kb = ((Kb + 63) // 64) * 64
+        Cdim = int(kfs[0].local_desc.shape[1])
+        Cb = p.search_nearest_num
+        P = Cdim + 6
+
+        def pack16(o, out):
+            kk = o.local_desc.shape[0]
+            out[:kk, :Cdim] = o.local_desc
+            out[:kk, Cdim] = o.valid
+            out[:kk, Cdim + 1:Cdim + 3] = o.kp_xy
+            out[:kk, Cdim + 3:Cdim + 6] = o.landmarks_3d
+            return out
+
+        qpacks = np.zeros((Qb, Kb, P), np.float16)
+        cpacks = np.zeros((Qb, Cb, Kb, P), np.float16)
+        for i, kf in enumerate(kfs):
+            pack16(kf, qpacks[i])
+            for c, (old, _s) in enumerate(cand_lists[i]):
+                pack16(old, cpacks[i, c])
+        self._seed_counter += 1
+        out2 = _verify_multi_kernel(
+            jnp.asarray(qpacks), jnp.asarray(cpacks),
+            np.uint32(self._seed0 + self._seed_counter),
+            pnp_hyp=p.pnp_iterations,
+            use_hom=bool(p.homography_prefilter),
+            pnp_err=p.pnp_reproj_err, hom_err=p.homography_thresh_px)
+        (idx_b, _raw, mask, n_match, n_valid,
+         dpose, n_inl, inliers) = jax.device_get(out2)
+        for i, kf in enumerate(kfs):
+            ka = len(kf.valid)
+            accepted = []
+            for c, (old, sim) in enumerate(cand_lists[i]):
+                init_mode = self._init_mode(
+                    old.drone_id if kf.drone_id == self.self_id
+                    else kf.drone_id)
+                thres, min_inliers = self._thresholds(init_mode)
+                if sim < thres:
+                    # geometric override: strong PnP support overrules a
+                    # weak retrieval score (already verified anyway)
+                    if self.p.geometric_override_matches <= 0:
+                        continue
+                    min_inliers = max(min_inliers,
+                                      self.p.geometric_override_matches)
+                if (int(n_match[i, c]) < min_inliers
+                        or int(n_valid[i, c]) < min_inliers):
+                    continue
+                cand = self._accept_candidate(
+                    kf, old, float(sim), min_inliers, idx_b[i, c, :ka],
+                    mask[i, c, :ka], dpose[i, c], int(n_inl[i, c]),
+                    inliers[i, c, :ka])
+                if cand is not None:
+                    accepted.append(cand)
+                    if len(accepted) >= p.max_loops_per_query:
+                        break
+            for result in accepted:
+                pair = (min(result.edge.drone_a, result.edge.drone_b),
+                        max(result.edge.drone_a, result.edge.drone_b))
+                self.pair_loop_count[pair] = \
+                    self.pair_loop_count.get(pair, 0) + 1
+                self.num_loops += 1
+            results[i] = accepted
+        return results
+
     def _candidates(self, kf: KeyframeData, nonkeyframe: bool):
         """(keyframe, similarity) candidates best-first, per routing rules.
 
@@ -373,7 +562,10 @@ class LoopDetector:
             for i, (old, sim) in enumerate(cands):
                 thres, min_inliers = mode_gates(old)
                 if sim < thres:
-                    continue
+                    if self.p.geometric_override_matches <= 0:
+                        continue
+                    min_inliers = max(min_inliers,
+                                      self.p.geometric_override_matches)
                 if (int(n_match[i]) < min_inliers
                         or int(n_valid[i]) < min_inliers):
                     continue

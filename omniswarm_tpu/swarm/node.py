@@ -43,6 +43,10 @@ class DroneNode:
                            on_inliers=self._on_inlier_set)
         self.loops_found = 0
         self.loops_received = 0
+        # remote keyframes queue: drained as ONE serving batch per comm
+        # scan (two fused dispatches for the whole batch instead of ~3
+        # round trips per keyframe)
+        self._rx_kfs = []
         # front-end keyframe gating state (VIOKF_callback/VIOnonKF_callback,
         # swarm_loop.cpp:124-170)
         self._last_invoke = -np.inf
@@ -101,8 +105,18 @@ class DroneNode:
         self.estimator.on_detection(det)
 
     def step(self, t: float) -> None:
-        """Periodic comm scan (the reference's 100 Hz timer)."""
+        """Periodic comm scan (the reference's 100 Hz timer) + batched
+        processing of the received keyframes."""
         self.net.scan_recv_packets(t)
+        if self._rx_kfs:
+            kfs, self._rx_kfs = self._rx_kfs, []
+            batches = self.detector.on_keyframes_batch(
+                kfs, [kf.prevent_adding_db for kf in kfs])
+            for kf, cands in zip(kfs, batches):
+                for cand in cands:
+                    self.loops_found += 1
+                    self._ingest_loop(cand.edge)
+                    self.net.broadcast_loop_edge(cand.edge, kf.t)
 
     def solve(self, t: float = 0.0):
         out = self.estimator.solve()
@@ -117,12 +131,8 @@ class DroneNode:
 
     # ------------------------------------------------------------------
     def _on_remote_keyframe(self, kf: KeyframeData) -> None:
-        cands = self.detector.on_keyframe_multi(
-            kf, prevent_adding_db=kf.prevent_adding_db)
-        for cand in cands:
-            self.loops_found += 1
-            self._ingest_loop(cand.edge)
-            self.net.broadcast_loop_edge(cand.edge, kf.t)
+        # queued; drained as one serving batch by step()
+        self._rx_kfs.append(kf)
 
     def _on_loop_edge(self, pkt: LoopEdgePacket) -> None:
         self.loops_received += 1

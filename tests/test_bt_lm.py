@@ -82,3 +82,52 @@ def test_bt_batched_matches_single(problem):
                                    rtol=0.05, atol=0.5)
     rel = metrics.mean_relative_ate(np.asarray(rb.poses[0]), data.gt)
     assert rel < 0.08, rel
+
+
+def test_pcg_linear_matches_smw(problem):
+    """linear="pcg" (sparse-loop BT-preconditioned CG) reaches the same
+    optimum as the exact Woodbury path — the large-L production path
+    (the (4L,4L) capacitance is O(L^3)/iter; sparse CG is O(L))."""
+    data, graph, init = problem
+    smw = lm_solve_bt(graph, init, max_iterations=50, linear="smw")
+    pcg = lm_solve_bt(graph, init, max_iterations=50, linear="pcg")
+    assert np.isfinite(float(pcg.cost))
+    np.testing.assert_allclose(float(pcg.cost), float(smw.cost),
+                               rtol=5e-3)
+    rel = metrics.mean_relative_ate(np.asarray(pcg.poses),
+                                    np.asarray(smw.poses))
+    assert rel < 0.02, rel
+
+
+def test_pcg_sparse_matvec_matches_dense_U(problem):
+    """The sparse loop Hessian application equals U U^T v exactly."""
+    import jax
+
+    from omniswarm_tpu.solver.dense import SparseLoops
+
+    data, graph, init = problem
+    A, B, g, U, c = assemble_blocks(graph, init)
+    A2, B2, g2, sl, c2 = assemble_blocks(graph, init, loops_dense=False)
+    np.testing.assert_allclose(float(c2), float(c), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g), atol=1e-5)
+    assert isinstance(sl, SparseLoops)
+    F, m = np.asarray(A).shape[:2]
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=(F, m)).astype(np.float32)
+    Ud = np.asarray(U)
+    want = np.einsum("fmc,c->fm", Ud,
+                     np.einsum("fmc,fm->c", Ud, v))
+    vf = v.reshape(-1)
+    ja, jb = np.asarray(sl.ja), np.asarray(sl.jb)
+    ra, rb = np.asarray(sl.rows_a), np.asarray(sl.rows_b)
+    t = (np.einsum("kci,ki->kc", ja, vf[ra])
+         + np.einsum("kci,ki->kc", jb, vf[rb]))
+    add = np.zeros_like(vf)
+    np.add.at(add, ra.reshape(-1),
+              np.einsum("kci,kc->ki", ja, t).reshape(-1))
+    np.add.at(add, rb.reshape(-1),
+              np.einsum("kci,kc->ki", jb, t).reshape(-1))
+    np.testing.assert_allclose(add.reshape(F, m), want, atol=2e-3)
+    # loop-term diagonal matches the dense row sums
+    np.testing.assert_allclose(np.asarray(sl.diag),
+                               np.einsum("fmc,fmc->fm", Ud, Ud), atol=2e-3)

@@ -65,10 +65,11 @@ def test_fused_matches_fallback(cam_pair):
     xy_a, d_a, g_a, p_a, ok_a = fused.extract_stereo_batch(lefts, rights)
     xy_b, d_b, g_b, p_b, ok_b = fall.extract_stereo_batch(lefts, rights)
     assert fused._ensure_fused() and not fall._ensure_fused()
-    np.testing.assert_allclose(xy_a, xy_b, atol=1e-4)
-    np.testing.assert_allclose(g_a, g_b, atol=2e-5)
-    # descriptors/validity identical; landmark positions to f32 matmul tol
-    np.testing.assert_allclose(d_a, d_b, atol=1e-4)
+    # f16 wire format: subpixel coords agree to f16 resolution (~0.06 at
+    # image width), descriptors/global to half precision
+    np.testing.assert_allclose(xy_a, xy_b, atol=0.1)
+    np.testing.assert_allclose(g_a, g_b, atol=5e-3)
+    np.testing.assert_allclose(d_a, d_b, atol=5e-3)
     assert (ok_a == ok_b).mean() > 0.98
     both = ok_a & ok_b
     np.testing.assert_allclose(p_a[both], p_b[both], atol=5e-2)
@@ -83,8 +84,8 @@ def test_batch_bucketing_pads_and_unpads(cam_pair):
     # same first row as a single-pair call (bucket pad must not leak)
     xy1, d1, g1, p1, ok1 = fused.extract_stereo_batch(
         lefts[:1], rights[:1])
-    np.testing.assert_allclose(g[0], g1[0], atol=2e-5)
-    np.testing.assert_allclose(xy[0], xy1[0], atol=1e-4)
+    np.testing.assert_allclose(g[0], g1[0], atol=5e-3)
+    np.testing.assert_allclose(xy[0], xy1[0], atol=0.1)
 
 
 def _make_kf(drone, frame, t, pose, pts_body, gdesc, ldesc, K=48):

@@ -21,6 +21,38 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
+def ingest_tick(est, rng, pose, t, drones=5, n_loops=2):
+    """One production tick: a new swarm frame + a couple of loop edges."""
+    from omniswarm_tpu.sim.simulator import delta_pose_np
+    from omniswarm_tpu.swarm.estimator import LoopRecord
+
+    vio = {}
+    for d in range(drones):
+        yaw = pose[d][3]
+        pose[d] = pose[d] + np.array(
+            [0.1 * np.cos(yaw), 0.1 * np.sin(yaw),
+             0.08 * np.cos(2 * np.pi * t / 60.0),
+             0.05 + 0.002 * rng.normal()])
+        vio[d] = pose[d] + rng.normal(0, 0.01, 4)
+    ranges = {(a, b): float(np.linalg.norm(vio[a][:3] - vio[b][:3]))
+              + rng.normal(0, 0.05)
+              for a in range(drones) for b in range(a + 1, drones)}
+    est.on_swarm_frame(t, vio, ranges)
+    t0 = est.window[0].t
+    for _ in range(n_loops):
+        a, b = rng.choice(drones, 2, replace=False)
+        ta = float(rng.uniform(t0 + 2, t - 1))
+        tb = float(rng.uniform(t0 + 2, t - 1))
+        pa = est._ego_pose_at(int(a), ta)
+        pb = est._ego_pose_at(int(b), tb)
+        if pa is None or pb is None:
+            continue
+        dp = delta_pose_np(pa, pb) + rng.normal(0, 0.01, 4)
+        est.on_loop(LoopRecord(t_a=ta, drone_a=int(a), t_b=tb,
+                               drone_b=int(b), dpose=dp,
+                               pos_std=0.05, yaw_std=0.02))
+
+
 def build_estimator(frames: int, loops: int, drones: int = 5):
     from omniswarm_tpu.config import SolverParams
     from omniswarm_tpu.sim.simulator import delta_pose_np
@@ -70,7 +102,7 @@ def build_estimator(frames: int, loops: int, drones: int = 5):
         est.on_loop(LoopRecord(t_a=ta, drone_a=int(a), t_b=tb,
                                drone_b=int(b), dpose=dp,
                                pos_std=0.05, yaw_std=0.02))
-    return est
+    return est, rng, pose
 
 
 def main():
@@ -86,7 +118,7 @@ def main():
     print(f"[online-bench] backend={jax.default_backend()} "
           f"building {args.frames}-kf window ...", flush=True)
     t0 = time.perf_counter()
-    est = build_estimator(args.frames, args.loops)
+    est, rng, pose = build_estimator(args.frames, args.loops)
     print(f"[online-bench] ingest {time.perf_counter() - t0:.1f}s; "
           "first solve (compiles) ...", flush=True)
 
@@ -98,7 +130,13 @@ def main():
           flush=True)
 
     host_ms, device_ms, total_ms, iters = [], [], [], []
+    t_now = 100.0 + args.frames
     for k in range(args.solves):
+        # live operation between solves: a new keyframe (with eviction at
+        # the full window) + fresh loop edges — the host build must absorb
+        # deltas, not re-derive a static window
+        t_now += 1.0
+        ingest_tick(est, rng, pose, t_now)
         t0 = time.perf_counter()
         prep = est.prepare_solve()
         th = time.perf_counter()
