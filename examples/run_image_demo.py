@@ -66,7 +66,7 @@ def main():
     world = RoomWorld(half=6.0, seed=11)
     rng = np.random.default_rng(0)
 
-    fp = FrontendParams(max_db_size=512, min_loop_matches=15,
+    fp = FrontendParams(max_db_size=512, min_loop_matches=17,
                         match_index_dist=4, netvlad_thres=0.35,
                         min_loop_matches_init=12,
                         search_nearest_num=8, max_loops_per_query=3,
