@@ -1107,8 +1107,11 @@ def lm_solve_bt_impl(graph: DenseGraph, poses0: jnp.ndarray, *,
     ``linear``: "smw" (Woodbury capacitance — exact step), "pcg"
     (BT-preconditioned CG with sparse loop application — inexact step,
     O(L) instead of O(L^3) per iteration), or "auto": pcg once the
-    capacitance would exceed 1,536 columns (L > 384 bucketed loops),
-    where its Newton-Schulz inversion starts to dominate the iteration.
+    capacitance would exceed 4,096 columns (L > 1024 bucketed loops).
+    Measured crossover on v5e: at C=2048 the capacitance Newton-Schulz
+    is still ~5 ms and beats 24 preconditioned-CG sweeps (the F=4096
+    sweep ran 9.1 ms/iter smw vs 15.3 pcg); at C=8192 the O(C^3) NS is
+    ~100 ms and pcg wins 3-5x (ONLINE_1024.json).
 
     Per iteration: one cyclic-reduction factor-solve with (1 + 4L) RHS and
     one small (4L, 4L) capacitance solve — no dense (P, P) Hessian, no
@@ -1119,8 +1122,13 @@ def lm_solve_bt_impl(graph: DenseGraph, poses0: jnp.ndarray, *,
 
     F, D = graph.pose_valid.shape
     Lb = graph.loops.valid.shape[0]
+    # measured v5e crossovers: C=4L>4096 (capacitance NS turns O(C^3)-
+    # dominant) or F>4096 (the (F,m,C) Woodbury sweep + S build grow
+    # superlinearly: F=8192 smw 59.3 ms/iter AND a numerically stalled
+    # cost vs pcg 37.4 ms/iter at a lower cost)
     use_pcg = (linear == "pcg") or (
-        linear == "auto" and not exact_linear and 4 * Lb > 1536)
+        linear == "auto" and not exact_linear
+        and (4 * Lb > 4096 or F > 4096))
 
     assemble = functools.partial(
         assemble_blocks, graph, huber_delta=huber_delta,

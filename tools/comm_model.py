@@ -122,7 +122,8 @@ def fleet_hlo(n_dev: int):
     for s in range(n_dev):
         d = sim.generate(sim.SimParams(num_drones=5, num_frames=32,
                                        seed=20 + s))
-        lanes.append(dense_graph_from_sim(d))
+        # common loop capacity: stack_graphs needs same-shape lanes
+        lanes.append(dense_graph_from_sim(d, max_loops=64))
         inits.append(np.asarray(d.vio, np.float32))
     stacked = stack_graphs(lanes)
     poses0 = jnp.asarray(np.stack(inits, 0))
@@ -153,8 +154,13 @@ def main():
 
     import jax
 
-    if jax.default_backend() != "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    # must run BEFORE anything initializes a backend (sitecustomize
+    # preloads jax; jax.devices()/default_backend() would lock it in)
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_num_cpu_devices", args.ndev)
+    except RuntimeError:
+        pass                        # backend already up (e.g. XLA_FLAGS)
     assert len(jax.devices()) >= args.ndev, (
         "run with XLA_FLAGS=--xla_force_host_platform_device_count=8")
 
@@ -204,6 +210,10 @@ def main():
 
     fleet_text = fleet_hlo(args.ndev)
     fleet_colls = hlo_collectives(fleet_text)
+    # the lock-step LM while_loop's convergence flag must agree across
+    # shards: a 1-byte pred[] all-reduce per iteration. That's control
+    # flow, not data exchange — classify separately.
+    fleet_data = [(op, b) for op, b in fleet_colls if b > 1]
     result = {
         "description": "Per-iteration collective traffic of the "
                        "frame-sharded window solver (compiled HLO, "
@@ -214,7 +224,10 @@ def main():
         "frame_sharded": rows,
         "crossover_F_pred": {"lat_1us": f_cross[0], "lat_5us": f_cross[1]},
         "fleet_layout_collectives": len(fleet_colls),
-        "fleet_layout_zero_collectives": len(fleet_colls) == 0,
+        "fleet_layout_control_flag_bytes": sum(
+            b for _, b in fleet_colls) - sum(b for _, b in fleet_data),
+        "fleet_layout_data_collectives": len(fleet_data),
+        "fleet_layout_zero_data_collectives": len(fleet_data) == 0,
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
