@@ -79,6 +79,171 @@ def render_shapes(rng: np.random.Generator, h: int, w: int,
     return img, c
 
 
+def _multiscale_noise(rng, h, w, octaves=4):
+    img = np.zeros((h, w), np.float32)
+    for o in range(octaves):
+        sh, sw = max(2, h >> (octaves - o)), max(2, w >> (octaves - o))
+        base = rng.normal(0, 1.0 / (o + 1), size=(sh, sw)).astype(np.float32)
+        ys = np.linspace(0, sh - 1, h)
+        xs = np.linspace(0, sw - 1, w)
+        y0 = np.floor(ys).astype(int)
+        x0 = np.floor(xs).astype(int)
+        y1 = np.minimum(y0 + 1, sh - 1)
+        x1 = np.minimum(x0 + 1, sw - 1)
+        fy = (ys - y0)[:, None]
+        fx = (xs - x0)[None, :]
+        img += (base[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+                + base[np.ix_(y1, x0)] * fy * (1 - fx)
+                + base[np.ix_(y0, x1)] * (1 - fy) * fx
+                + base[np.ix_(y1, x1)] * fy * fx)
+    img -= img.min()
+    return img / max(img.max(), 1e-6)
+
+
+def _fill_polygon(img, pts, tex):
+    """Fill a convex polygon with the given texture patch values."""
+    h, w = img.shape
+    ys, xs = np.mgrid[:h, :w]
+    inside = np.ones((h, w), bool)
+    n = len(pts)
+    cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
+    for i in range(n):
+        x0, y0 = pts[i]
+        x1, y1 = pts[(i + 1) % n]
+        crossz = (x1 - x0) * (ys - y0) - (y1 - y0) * (xs - x0)
+        side = (x1 - x0) * (cy - y0) - (y1 - y0) * (cx - x0)
+        inside &= (crossz * np.sign(side)) >= 0
+    img[inside] = tex[inside]
+    return img
+
+
+def render_textured(rng: np.random.Generator, h: int, w: int,
+                    n_shapes: int = 5) -> Tuple[np.ndarray, np.ndarray]:
+    """Photometric-realistic synthetic scene (VERDICT r4 item 8).
+
+    Where render_shapes draws 1-px outlines on a flat background (the
+    MagicPoint stage), this fills CONVEX TEXTURED polygons over a
+    multi-scale-noise background, then applies a photometric pipeline —
+    exposure gradient, gamma, brightness/contrast jitter, blur, sensor
+    noise. Corners remain exactly known (polygon vertices), so the
+    detector trains supervised on imagery that actually looks like
+    surfaces instead of line art.
+    """
+    img = _multiscale_noise(rng, h, w) * rng.uniform(0.25, 0.55)
+    corners = []
+    for _ in range(n_shapes):
+        nv = int(rng.integers(3, 6))
+        cx, cy = rng.uniform(8, w - 8), rng.uniform(8, h - 8)
+        r = rng.uniform(5, min(h, w) / 3)
+        angs = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        pts = np.stack([cx + r * np.cos(angs), cy + r * np.sin(angs)], 1)
+        pts[:, 0] = np.clip(pts[:, 0], 1, w - 2)
+        pts[:, 1] = np.clip(pts[:, 1], 1, h - 2)
+        tex = _multiscale_noise(rng, h, w)
+        lo, hi = np.sort(rng.uniform(0.0, 1.0, 2))
+        tex = lo + tex * max(hi - lo, 0.25)
+        img = _fill_polygon(img, pts, tex)
+        corners.extend(pts)
+    # photometric pipeline
+    gx = np.linspace(-1, 1, w)[None, :] * rng.uniform(-0.15, 0.15)
+    gy = np.linspace(-1, 1, h)[:, None] * rng.uniform(-0.15, 0.15)
+    img = img + gx + gy                         # exposure gradient
+    img = np.clip(img, 0, 1) ** rng.uniform(0.7, 1.4)   # gamma
+    img = (img - 0.5) * rng.uniform(0.7, 1.3) + rng.uniform(0.35, 0.6)
+    if rng.uniform() < 0.5:                     # box blur (defocus/motion)
+        k = 1
+        img = (img
+               + np.roll(img, k, 0) + np.roll(img, -k, 0)
+               + np.roll(img, k, 1) + np.roll(img, -k, 1)) / 5.0
+    img = img + rng.normal(0, rng.uniform(0.01, 0.05), img.shape)
+    img = np.clip(img, 0, 1).astype(np.float32)
+    return img, np.asarray(corners, np.float32)
+
+
+def make_batch_textured(rng, batch: int, h: int, w: int):
+    imgs = np.zeros((batch, h, w, 1), np.float32)
+    labs = np.zeros((batch, h // 8, w // 8), np.int32)
+    for b in range(batch):
+        img, corners = render_textured(rng, h, w)
+        imgs[b, :, :, 0] = img
+        labs[b] = corner_label_map(corners, h, w)
+    return jnp.asarray(imgs), jnp.asarray(labs)
+
+
+def homographic_adaptation_labels(model, params, imgs: np.ndarray,
+                                  rng: np.random.Generator, *,
+                                  n_warps: int = 8,
+                                  threshold: float = 0.15) -> np.ndarray:
+    """Self-label a batch by averaging detector heatmaps over warps.
+
+    The SuperPoint recipe's homographic adaptation (superpoint.ipynb
+    provenance): run the current detector on ``n_warps`` warped copies of
+    each image, warp the heatmaps back, average, and threshold into the
+    per-cell 65-way label format. Detections stable across viewpoint
+    survive; spurious single-view responses wash out.
+    """
+    B, h, w, _ = imgs.shape
+    acc = np.zeros((B, h, w), np.float32)
+    cnt = np.zeros((B, h, w), np.float32) + 1e-6
+    ys, xs = np.mgrid[:h, :w].astype(np.float32)
+    for k in range(n_warps):
+        if k == 0:
+            warped = imgs
+            maps = None
+        else:
+            ang = rng.uniform(-0.4, 0.4)
+            zoom = rng.uniform(0.85, 1.2)
+            tx = rng.uniform(-8, 8)
+            ty = rng.uniform(-8, 8)
+            c, s = np.cos(ang) * zoom, np.sin(ang) * zoom
+            cx, cy = w / 2.0, h / 2.0
+            xb = xs - cx - tx
+            yb = ys - cy - ty
+            z2 = zoom * zoom
+            xa = (c * xb + s * yb) / z2 + cx
+            ya = (-s * xb + c * yb) / z2 + cy
+            x0 = np.clip(np.floor(xa).astype(int), 0, w - 2)
+            y0 = np.clip(np.floor(ya).astype(int), 0, h - 2)
+            fx = np.clip(xa - x0, 0, 1)
+            fy = np.clip(ya - y0, 0, 1)
+            warped = np.zeros_like(imgs)
+            for b in range(B):
+                im = imgs[b, :, :, 0]
+                v = (im[y0, x0] * (1 - fy) * (1 - fx)
+                     + im[y0 + 1, x0] * fy * (1 - fx)
+                     + im[y0, x0 + 1] * (1 - fy) * fx
+                     + im[y0 + 1, x0 + 1] * fy * fx)
+                warped[b, :, :, 0] = v
+            maps = (xa, ya)
+        heat, _ = model.apply(params, jnp.asarray(warped))
+        heat = np.asarray(heat)                 # (B, h, w)
+        if maps is None:
+            acc += heat
+            cnt += 1.0
+        else:
+            xa, ya = maps
+            inside = (xa >= 0) & (xa < w - 1) & (ya >= 0) & (ya < h - 1)
+            # heat at warped pixel (xa, ya) belongs to source pixel (x, y)
+            xi = np.clip(np.round(xa).astype(int), 0, w - 1)
+            yi = np.clip(np.round(ya).astype(int), 0, h - 1)
+            for b in range(B):
+                np.add.at(acc[b], (yi[inside], xi[inside]),
+                          heat[b][inside])
+                np.add.at(cnt[b], (yi[inside], xi[inside]), 1.0)
+    mean = acc / cnt
+    hc, wc = h // 8, w // 8
+    labs = np.full((B, hc, wc), 64, np.int32)
+    for b in range(B):
+        m = mean[b]
+        cells = m[:hc * 8, :wc * 8].reshape(hc, 8, wc, 8).transpose(
+            0, 2, 1, 3).reshape(hc, wc, 64)
+        best = cells.argmax(-1)
+        val = cells.max(-1)
+        lab = np.where(val >= threshold, best, 64)
+        labs[b] = lab
+    return labs
+
+
 def corner_label_map(corners: np.ndarray, h: int, w: int) -> np.ndarray:
     """(h/8, w/8) int labels in [0, 64]: cell-local corner index or 64."""
     hc, wc = h // 8, w // 8
@@ -117,8 +282,16 @@ def detector_loss(params, model, imgs, labels):
 
 def train_detector(*, steps: int = 300, batch: int = 16, h: int = 64,
                    w: int = 96, lr: float = 1e-3, seed: int = 0,
-                   log_every: int = 50, params=None):
-    """Train the detector head (MagicPoint). Returns (params, history)."""
+                   log_every: int = 50, params=None, batch_fn=None,
+                   ha_every: int = 0, ha_warps: int = 8):
+    """Train the detector head. Returns (params, history).
+
+    batch_fn(rng, batch, h, w) -> (imgs, labels): make_batch (MagicPoint
+    line-art stage) or make_batch_textured (photometric stage).
+    ``ha_every`` > 0 interleaves homographic-adaptation self-labeling:
+    every ha_every-th batch's labels are replaced by warp-averaged
+    detections of the CURRENT model (stable-under-viewpoint corners),
+    the SuperPoint stage-2 recipe."""
     import optax
 
     model = SuperPoint()
@@ -126,6 +299,8 @@ def train_detector(*, steps: int = 300, batch: int = 16, h: int = 64,
     if params is None:
         params = model.init(jax.random.PRNGKey(seed),
                             jnp.zeros((1, h, w, 1)))
+    if batch_fn is None:
+        batch_fn = make_batch
     tx = optax.adam(lr)
     opt_state = tx.init(params)
 
@@ -139,7 +314,10 @@ def train_detector(*, steps: int = 300, batch: int = 16, h: int = 64,
 
     history = []
     for it in range(steps):
-        imgs, labels = make_batch(rng, batch, h, w)
+        imgs, labels = batch_fn(rng, batch, h, w)
+        if ha_every > 0 and it % ha_every == ha_every - 1:
+            labels = jnp.asarray(homographic_adaptation_labels(
+                model, params, np.asarray(imgs), rng, n_warps=ha_warps))
         params, opt_state, loss = step(params, opt_state, imgs, labels)
         if it % log_every == 0 or it == steps - 1:
             history.append((it, float(loss)))
@@ -148,7 +326,7 @@ def train_detector(*, steps: int = 300, batch: int = 16, h: int = 64,
 
 def make_warped_pairs(rng, batch: int, h: int, w: int, *,
                       max_rot: float = 0.3, max_shift: float = 12.0,
-                      scale=(1.0, 1.0)):
+                      scale=(1.0, 1.0), render_fn=None):
     """Rendered image pairs under a known rigid warp.
 
     Returns (imgs_a, imgs_b, T_ba (B, 2, 3)) where a pixel p_a in image A
@@ -163,7 +341,10 @@ def make_warped_pairs(rng, batch: int, h: int, w: int, *,
     T_ba = np.zeros((batch, 2, 3), np.float32)
     ys, xs = np.mgrid[:h, :w].astype(np.float32)
     for b in range(batch):
-        img, _ = render_shapes(rng, h, w, n_shapes=6)
+        if render_fn is None:
+            img, _ = render_shapes(rng, h, w, n_shapes=6)
+        else:
+            img, _ = render_fn(rng, h, w)
         imgs_a[b, :, :, 0] = img
         ang = rng.uniform(-max_rot, max_rot)
         zoom = rng.uniform(*scale)
@@ -250,7 +431,8 @@ def descriptor_loss(params, model, imgs_a, imgs_b, T_ba,
 def train_descriptors(*, steps: int = 500, batch: int = 8, h: int = 64,
                       w: int = 96, lr: float = 1e-3, seed: int = 0,
                       log_every: int = 50, params=None,
-                      detector_weight: float = 1.0):
+                      detector_weight: float = 1.0, batch_fn=None,
+                      render_fn=None):
     """Joint detector + descriptor training (warped-pair supervision).
 
     Starts from ``params`` (e.g. the detector-only checkpoint) and optimizes
@@ -281,10 +463,13 @@ def train_descriptors(*, steps: int = 500, batch: int = 8, h: int = 64,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, ld, lc
 
+    if batch_fn is None:
+        batch_fn = make_batch
     history = []
     for it in range(steps):
-        imgs, labels = make_batch(rng, batch, h, w)
-        ia, ib, T = make_warped_pairs(rng, batch, h, w)
+        imgs, labels = batch_fn(rng, batch, h, w)
+        ia, ib, T = make_warped_pairs(rng, batch, h, w,
+                                      render_fn=render_fn)
         params, opt_state, loss, ld, lc = step(
             params, opt_state, imgs, labels, ia, ib, T)
         if it % log_every == 0 or it == steps - 1:
@@ -294,7 +479,8 @@ def train_descriptors(*, steps: int = 500, batch: int = 8, h: int = 64,
 
 def matching_metrics(params, *, n_eval: int = 8, h: int = 64, w: int = 96,
                      seed: int = 77, top_k: int = 50, max_rot: float = 0.3,
-                     max_shift: float = 12.0, scale=(1.0, 1.0)):
+                     max_shift: float = 12.0, scale=(1.0, 1.0),
+                     render_fn=None):
     """Cross-warp descriptor matching precision on held-out pairs.
 
     Detect keypoints in A, grid-sample descriptors in both views, mutual
@@ -319,7 +505,8 @@ def matching_metrics(params, *, n_eval: int = 8, h: int = 64, w: int = 96,
     correct = total = 0
     for _ in range(n_eval):
         ia, ib, T = make_warped_pairs(rng, 1, h, w, max_rot=max_rot,
-                                      max_shift=max_shift, scale=scale)
+                                      max_shift=max_shift, scale=scale,
+                                      render_fn=render_fn)
         xy_a, _, desc_a, va = ex(ia)
         xy_b, _, desc_b, vb = ex(ib)
         m = mutual_match(desc_a[0], desc_b[0], va[0], vb[0],

@@ -72,3 +72,38 @@ def test_netvlad_unit_norm_and_similarity(nv_extractor, rng):
     sim_other = float(desc[1] @ d2[0])
     assert sim_same > sim_other
     assert sim_same > 0.9
+
+
+def test_textured_rendering_and_ha_labels():
+    """Photometric stage machinery (VERDICT r4 item 8): textured scenes
+    carry exact corner GT; homographic-adaptation self-labels are in the
+    65-way cell format and keep only warp-stable detections."""
+    import numpy as np
+
+    from omniswarm_tpu.models.superpoint import SuperPoint
+    from omniswarm_tpu.models.train_superpoint import (
+        corner_label_map, homographic_adaptation_labels, make_batch_textured,
+        render_textured)
+
+    rng = np.random.default_rng(0)
+    img, corners = render_textured(rng, 64, 96)
+    assert img.shape == (64, 96) and img.dtype == np.float32
+    assert 0.0 <= img.min() and img.max() <= 1.0
+    assert len(corners) >= 9            # >=3 polygons x >=3 vertices
+    # textured scenes must not be flat line art: interior variance real
+    assert img.std() > 0.05
+    lab = corner_label_map(corners, 64, 96)
+    assert (lab < 64).sum() >= 5
+
+    imgs, labs = make_batch_textured(rng, 2, 64, 96)
+    assert imgs.shape == (2, 64, 96, 1) and labs.shape == (2, 8, 12)
+
+    import jax
+    import jax.numpy as jnp
+
+    model = SuperPoint()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 1)))
+    ha = homographic_adaptation_labels(model, params, np.asarray(imgs),
+                                       rng, n_warps=3, threshold=0.5)
+    assert ha.shape == (2, 8, 12)
+    assert ha.dtype == np.int32 and ha.min() >= 0 and ha.max() <= 64
