@@ -176,3 +176,42 @@ print(json.dumps({{'type': 'rss_peaks', 'peaks': peaks}}), flush=True)
     end = peaks[-1]
     growth_mb = (end - mid) / 1024.0
     assert growth_mb < 60.0, (mid, end, growth_mb)
+
+
+@pytest.mark.slow
+def test_large_window_online_cadence():
+    """VERDICT r4 item 1 done-criteria (CPU-tier companion of the TPU
+    artifact ONLINE_1024.json): the ONLINE estimator at a large window
+    sustains solve ticks through live ingestion — fast build path used,
+    incremental PCM cache hits after warmup, async pending consumed —
+    and the host build does not regress into the python rebuild."""
+    import sys
+    import time
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from online_window_bench import build_estimator, ingest_tick
+
+    est, rng, pose = build_estimator(256, 300)
+    out = est.solve()
+    assert out["solved"], out
+    t_now = 100.0 + 256
+    hosts = []
+    for k in range(6):
+        t_now += 1.0
+        ingest_tick(est, rng, pose, t_now)
+        t0 = time.perf_counter()
+        prep = est.prepare_solve()
+        hosts.append(time.perf_counter() - t0)
+        assert not prep.get("refused")
+        assert prep["dense_graph"] is not None, "fast build fell back"
+        res = est.execute_solve(prep)
+        fin = est.finalize_solve(prep, res)
+        assert fin["solved"], fin
+    # async PCM must have been consumed by finalize (no stuck pending)
+    assert getattr(est, "_pcm_pending", None) is None
+    # incremental PCM: the verdict cache holds every active pair
+    assert est._pcm_pair_cache
+    # steady-state host build stays in the vectorized regime (the python
+    # rebuild at this window size costs ~1 s even on this 2-core box)
+    assert np.median(hosts) < 0.5, hosts
