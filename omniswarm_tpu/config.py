@@ -77,6 +77,19 @@ class SolverParams:
     enable_data_association: bool = False
     huber_delta: float = 1.0            # HuberLoss(1.0), solver.cpp:1080
 
+    # Observability conditioning: a drone's own in-window xy motion
+    # unlocks yaw observability (THRES_YAW_OBSER_XY, solver.cpp:49,
+    # :1413-1420); drones position-solvable only through motion-init get
+    # their yaw column frozen (the reference instead relies on its yaw
+    # gate :1066-1068 + damping; the masked grid freezes explicitly).
+    yaw_observable_xy_thres: float = 1.0
+    # Redundant-range pruning between mutually non-moving frames
+    # (cutting_edges, solver.cpp:1225-1296). The shipped reference marks
+    # every edge enabled (the pruning body is commented out at
+    # :1266-1291), so parity default is off.
+    cutting_edges: bool = False
+    not_moving_thres: float = 0.02      # NOT_MOVING_THRES, solver.cpp:46
+
     # Feature switches (node.cpp:488-497)
     enable_detection: bool = True
     enable_loop: bool = True

@@ -170,6 +170,57 @@ def make_batch_textured(rng, batch: int, h: int, w: int):
     return jnp.asarray(imgs), jnp.asarray(labs)
 
 
+def render_mixed(rng: np.random.Generator, h: int, w: int,
+                 textured_frac: float = 0.75):
+    """Textured surfaces most of the time, line-art sometimes — keeps the
+    descriptor discriminative on BOTH imagery families the textured eval
+    measures (SP_EVAL textured + flat rows)."""
+    if rng.uniform() < textured_frac:
+        return render_textured(rng, h, w)
+    return render_shapes(rng, h, w, n_shapes=6)
+
+
+def sample_raw_descriptors(params, *, n_images: int = 128, h: int = 64,
+                           w: int = 96, seed: int = 3, top_k: int = 50,
+                           render_fn=None, batch: int = 16) -> np.ndarray:
+    """Raw (pre-PCA) 256-d descriptors at detected keypoints on rendered
+    imagery — the input the reference's pca.ipynb fits its 256→64
+    projection on (descriptors dumped from flight data). Used by
+    tools/train_superpoint_tool.py --fit-pca to embed a fitted projection
+    into the shipped checkpoint instead of the JL fallback."""
+    from omniswarm_tpu.ops.keypoints import (
+        bilinear_sample_descriptors, extract_keypoints)
+
+    model = SuperPoint()
+    net = params["net"] if "net" in params else params
+    rng = np.random.default_rng(seed)
+    if render_fn is None:
+        render_fn = render_textured
+
+    @jax.jit
+    def run(imgs):
+        heat, dc = model.apply(net, imgs)
+        xy, sc, valid = jax.vmap(
+            lambda hm: extract_keypoints(hm, max_keypoints=top_k,
+                                         threshold=0.015, nms_dist=4))(heat)
+        desc = jax.vmap(
+            lambda d, p: bilinear_sample_descriptors(d, p, cell=8)
+        )(dc, xy.astype(jnp.float32))
+        desc = desc / jnp.maximum(
+            jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-8)
+        return desc, valid
+
+    out = []
+    for s in range(0, n_images, batch):
+        nb = min(batch, n_images - s)
+        imgs = np.zeros((batch, h, w, 1), np.float32)
+        for b in range(nb):
+            imgs[b, :, :, 0] = render_fn(rng, h, w)[0]
+        desc, valid = jax.device_get(run(jnp.asarray(imgs)))
+        out.append(desc[:nb][valid[:nb]])
+    return np.concatenate(out, 0)
+
+
 def homographic_adaptation_labels(model, params, imgs: np.ndarray,
                                   rng: np.random.Generator, *,
                                   n_warps: int = 8,
@@ -283,7 +334,9 @@ def detector_loss(params, model, imgs, labels):
 def train_detector(*, steps: int = 300, batch: int = 16, h: int = 64,
                    w: int = 96, lr: float = 1e-3, seed: int = 0,
                    log_every: int = 50, params=None, batch_fn=None,
-                   ha_every: int = 0, ha_warps: int = 8):
+                   ha_every: int = 0, ha_warps: int = 8,
+                   start_step: int = 0, save_every: int = 0, save_fn=None,
+                   log_fn=None):
     """Train the detector head. Returns (params, history).
 
     batch_fn(rng, batch, h, w) -> (imgs, labels): make_batch (MagicPoint
@@ -313,7 +366,7 @@ def train_detector(*, steps: int = 300, batch: int = 16, h: int = 64,
         return params, opt_state, loss
 
     history = []
-    for it in range(steps):
+    for it in range(start_step, steps):
         imgs, labels = batch_fn(rng, batch, h, w)
         if ha_every > 0 and it % ha_every == ha_every - 1:
             labels = jnp.asarray(homographic_adaptation_labels(
@@ -321,6 +374,11 @@ def train_detector(*, steps: int = 300, batch: int = 16, h: int = 64,
         params, opt_state, loss = step(params, opt_state, imgs, labels)
         if it % log_every == 0 or it == steps - 1:
             history.append((it, float(loss)))
+            if log_fn is not None:
+                log_fn(history[-1])
+        if save_fn is not None and save_every > 0 \
+                and (it + 1) % save_every == 0:
+            save_fn(params, it + 1)
     return params, history
 
 
@@ -432,7 +490,10 @@ def train_descriptors(*, steps: int = 500, batch: int = 8, h: int = 64,
                       w: int = 96, lr: float = 1e-3, seed: int = 0,
                       log_every: int = 50, params=None,
                       detector_weight: float = 1.0, batch_fn=None,
-                      render_fn=None):
+                      render_fn=None, max_rot: float = 0.3,
+                      max_shift: float = 12.0, scale=(1.0, 1.0),
+                      start_step: int = 0, save_every: int = 0,
+                      save_fn=None, log_fn=None):
     """Joint detector + descriptor training (warped-pair supervision).
 
     Starts from ``params`` (e.g. the detector-only checkpoint) and optimizes
@@ -466,14 +527,20 @@ def train_descriptors(*, steps: int = 500, batch: int = 8, h: int = 64,
     if batch_fn is None:
         batch_fn = make_batch
     history = []
-    for it in range(steps):
+    for it in range(start_step, steps):
         imgs, labels = batch_fn(rng, batch, h, w)
-        ia, ib, T = make_warped_pairs(rng, batch, h, w,
+        ia, ib, T = make_warped_pairs(rng, batch, h, w, max_rot=max_rot,
+                                      max_shift=max_shift, scale=scale,
                                       render_fn=render_fn)
         params, opt_state, loss, ld, lc = step(
             params, opt_state, imgs, labels, ia, ib, T)
         if it % log_every == 0 or it == steps - 1:
             history.append((it, float(loss), float(ld), float(lc)))
+            if log_fn is not None:
+                log_fn(history[-1])
+        if save_fn is not None and save_every > 0 \
+                and (it + 1) % save_every == 0:
+            save_fn(params, it + 1)
     return params, history
 
 

@@ -526,12 +526,16 @@ class SwarmEstimator:
     def _estimate_observability(self):
         """Which drones' positions/yaws are observable in this window.
 
-        Mirrors estimate_observability (solver.cpp:1336-1403):
+        Mirrors estimate_observability (solver.cpp:1336-1421):
         - BFS over the loop/detection graph from self — connected drones get
           position AND yaw observability (loop_observable_set :1299-1334);
         - if the self drone's motion bounding box is large enough
-          (init_xy/z_movement), everyone becomes position-observable (yaw
-          of range-only drones stays weak and is gauge-frozen).
+          (init_xy/z_movement), everyone becomes position-observable;
+        - a drone whose OWN in-window xy extent exceeds
+          yaw_observable_xy_thres becomes yaw-observable through its
+          ranges (THRES_YAW_OBSER_XY sweep, :1413-1420). Drones position-
+          observable only through motion-init keep yaw frozen (the
+          builders drive yaw_fixed from this set).
         """
         p = self.params
         ids = set(self._drone_ids())
@@ -554,6 +558,17 @@ class SwarmEstimator:
                     queue.append(nb)
         yaw_obs = set(obs)
         pos_obs = set(obs)
+
+        # per-drone xy motion unlocks yaw observability through ranges
+        # (THRES_YAW_OBSER_XY, solver.cpp:49,:1413-1420)
+        for d in ids - yaw_obs:
+            pts = [kf.vio[d][:3] for kf in self.window if d in kf.vio]
+            if len(pts) >= 2:
+                arr = np.asarray(pts)
+                ext = arr.max(0) - arr.min(0)
+                if (ext[0] > p.yaw_observable_xy_thres
+                        or ext[1] > p.yaw_observable_xy_thres):
+                    yaw_obs.add(d)
 
         # self-motion bounding box unlocks position init for everyone
         self_pts = [kf.vio[self.self_id][:3] for kf in self.window
@@ -615,14 +630,16 @@ class SwarmEstimator:
                     first_self_frame = fi
                     fixed = True
                 # a completely unobservable drone is frozen at its VIO
-                # (enable_to_init_by_drone gating, solver.cpp:1122; yaw
-                # observability needs no separate mask here — every
-                # loop/detection endpoint is in the BFS set by construction,
-                # and range-only drones keep yaw free exactly as the
-                # reference does)
+                # (enable_to_init_by_drone gating, solver.cpp:1122)
                 if d not in pos_obs:
                     fixed = True
                 builder.set_pose_valid(fi, di, fixed=fixed)
+                # yaw conditioning: drones solvable only through motion-
+                # init (ranges constrain position, not heading) get the
+                # yaw column frozen — the masked-grid form of the
+                # reference's yaw_observability guard (:1066-1068,:1413)
+                if d in pos_obs and d not in yaw_obs:
+                    builder.yaw_fixed[fi, di] = True
                 init[fi, di] = pose
             # carry forward drones missing in this frame (masked invalid)
 
@@ -660,19 +677,49 @@ class SwarmEstimator:
         # UWB ranges with estimate-based gating
         if p.enable_distance:
             for fi, kf in enumerate(self.window):
+                # cutting_edges (solver.cpp:1225-1296): a range between a
+                # pair where NEITHER endpoint moved since the previous
+                # frame repeats the previous factor's information — prune
+                # it so a static stretch collapses to its first frame.
+                # (The shipped reference marks all edges enabled — the
+                # pruning body is commented out at :1266-1291 — so this
+                # runs only under the cutting_edges knob.)
+                moved = None
+                if p.cutting_edges and fi > 0:
+                    prev_kf = self.window[fi - 1]
+                    moved = {}
+                    for d in ids:
+                        if d not in kf.vio or d not in prev_kf.vio:
+                            moved[d] = True
+                        else:
+                            moved[d] = bool(np.linalg.norm(
+                                kf.vio[d][:3] - prev_kf.vio[d][:3])
+                                > p.not_moving_thres)
                 for (da, db), dist in kf.ranges.items():
                     if da not in idmap or db not in idmap or da >= db:
                         continue
                     if dist < p.minimum_distance:
+                        continue
+                    if (moved is not None and not moved.get(da, True)
+                            and not moved.get(db, True)
+                            and ((da, db) in self.window[fi - 1].ranges
+                                 or (db, da) in self.window[fi - 1].ranges)):
                         continue
                     if self._range_outlier(fi, idmap[da], idmap[db], dist):
                         continue
                     builder.add_range(fi, idmap[da], idmap[db], dist,
                                       cov=p.distance_measurement_cov)
 
-        # loops (re-anchored to nearest keyframes, PCM-filtered)
+        # loops (re-anchored to nearest keyframes, PCM-filtered); the
+        # yaw-observability gate (:1066-1068) drops edges whose endpoints
+        # are disconnected from self's loop graph
+        col_yaw_obs = np.zeros(D, bool)
+        for d, di in idmap.items():
+            col_yaw_obs[di] = d in yaw_obs
         good_loops = self._filter_loops(idmap)
         for (fa, da, fb, db, dpose, ps, ys) in good_loops:
+            if not (col_yaw_obs[da] and col_yaw_obs[db]):
+                continue
             builder.add_loop(fa, da, fb, db, dpose, diag_sqrt_info(ps, ys))
 
         # detections → anchored at nearest kf, bearing factors
@@ -690,6 +737,8 @@ class SwarmEstimator:
                     continue
                 if det.drone_a not in idmap or det.drone_b not in idmap:
                     continue
+                if not (det.drone_a in yaw_obs and det.drone_b in yaw_obs):
+                    continue       # yaw gate, solver.cpp:1066-1068
                 # anchor-drift gate (det_dpos_thres, solver.cpp:1527):
                 # distance traveled between detection time and the anchor
                 # keyframes, approximated by the VIO displacement
@@ -1044,7 +1093,15 @@ class SwarmEstimator:
             if not self._motion_ok:
                 seeded = self._loop_seeded_init(init, idmap)
                 if seeded is not None:
-                    inits[1 % B] = seeded
+                    if B == 1:
+                        # init_random_trials == 0: grow the batch by one
+                        # lane so the plain-VIO start is retained — the
+                        # reference's multi-init always keeps the
+                        # unperturbed start as a fallback (ADVICE r4).
+                        B = 2
+                        inits = np.concatenate([inits, seeded[None]], 0)
+                    else:
+                        inits[1] = seeded
                     base, first_rand = seeded, 2
             # Randomize only non-self drones (the reference's random init
             # leaves the ego chain at VIO and perturbs the others);

@@ -572,7 +572,8 @@ def _average_same_pair_np(a: dict) -> dict:
 
 def _build_detections_fast(est, grids: WindowGrids, act: np.ndarray,
                            ids: List[int], poses_sel: np.ndarray,
-                           valid_sel: np.ndarray, Fb: int):
+                           valid_sel: np.ndarray, Fb: int,
+                           yaw_obs=None):
     """Vectorized detection anchoring -> dense (F, D, D) grids.
 
     Returns (det_dir, det_tb, det_invdep, det_valid, det_depth) or None
@@ -605,6 +606,11 @@ def _build_detections_fast(est, grids: WindowGrids, act: np.ndarray,
     fa = _nearest_kf_vec(grids, act, soa["t"], np.where(in_a, ca, -1))
     fb = _nearest_kf_vec(grids, act, soa["t"], np.where(in_b, cb, -1))
     mask = in_a & in_b & (fa >= 0) & (fb >= 0)
+    if yaw_obs is not None:
+        # yaw-observability gate, solver.cpp:1066-1068
+        obs_ids = np.asarray(sorted(yaw_obs), np.int64)
+        mask &= (np.isin(soa["da"], obs_ids)
+                 & np.isin(soa["db"], obs_ids))
 
     # anchor-drift gate (det_dpos_thres, solver.cpp:1527) via the VIO
     # displacement between detection time and the anchor keyframes
@@ -671,6 +677,7 @@ def build_dense_fast(est) -> Optional[tuple]:
     pose_valid = np.zeros((Fb, D), bool)
     pose_valid[:F] = valid_sel
     pose_fixed = np.zeros((Fb, D), bool)
+    yaw_fixed = np.zeros((Fb, D), bool)
     self_col = idmap.get(est.self_id)
     if self_col is not None and valid_sel[:, self_col].any():
         pose_fixed[np.flatnonzero(valid_sel[:, self_col])[0], self_col] = True
@@ -678,6 +685,10 @@ def build_dense_fast(est) -> Optional[tuple]:
         if d not in pos_obs:
             # completely unobservable drone frozen at VIO (solver.cpp:1122)
             pose_fixed[:F, di] |= valid_sel[:, di]
+        elif d not in yaw_obs:
+            # motion-init-only drone: yaw column frozen (the masked-grid
+            # form of the yaw_observability guard, solver.cpp:1066,:1413)
+            yaw_fixed[:F, di] = valid_sel[:, di]
     init = np.zeros((Fb, D, 4), np.float32)
     init[:F] = np.where(valid_sel[..., None], poses_sel, 0.0)
 
@@ -736,6 +747,20 @@ def build_dense_fast(est) -> Optional[tuple]:
             outlier = (finite[:, :, None] & finite[:, None, :]
                        & (d_est >= 1e-6) & (out1 | out2))
             rv[:Fe, :De, :De] &= ~outlier
+        if p.cutting_edges and F > 1:
+            # cutting_edges (solver.cpp:1225-1296): prune ranges whose
+            # endpoints BOTH moved < not_moving_thres since the previous
+            # frame and whose pair already measured there — a static
+            # stretch collapses to its first frame (vectorized form of
+            # the estimator._build pruning; raw presence, pre-gating)
+            pos3 = poses_sel[..., :3]
+            step = np.linalg.norm(pos3[1:] - pos3[:-1], axis=-1)
+            moved = ((step > p.not_moving_thres)
+                     | ~valid_sel[1:] | ~valid_sel[:-1])       # (F-1, D)
+            raw = g.rng_valid[:, act][:, :, act]
+            prev = raw[:-1] | raw[:-1].transpose(0, 2, 1)
+            redundant = (~moved[:, :, None] & ~moved[:, None, :] & prev)
+            rv[1:] &= ~redundant
         range_dist[:F] = np.where(rv, dist, 0.0)
         range_si[:F] = np.where(
             rv, 1.0 / np.sqrt(p.distance_measurement_cov), 0.0)
@@ -744,6 +769,12 @@ def build_dense_fast(est) -> Optional[tuple]:
     # --- loops (anchor + PCM + averaging) ------------------------------
     Lb = est._bucket(len(est.loops) + len(est.dets), 64)
     good = _filter_loops_fast(est, g, act, ids, poses_sel, valid_sel)
+    # yaw-observability gate (solver.cpp:1066-1068): drop edges whose
+    # endpoints are disconnected from self's loop graph
+    col_yaw_obs = np.asarray([d in yaw_obs for d in ids], bool)
+    keep = col_yaw_obs[good["ca"]] & col_yaw_obs[good["cb"]]
+    if not keep.all():
+        good = {k: v[keep] for k, v in good.items()}
     n = good["fa"].shape[0]
     if n > Lb:
         return None         # capacity anomaly — let the slow path assert
@@ -768,7 +799,8 @@ def build_dense_fast(est) -> Optional[tuple]:
     loops = RelPoseFactors(lp_fa, lp_da, lp_fb, lp_db, lp_dp, lp_si, lp_v)
 
     # --- detections -----------------------------------------------------
-    dets = _build_detections_fast(est, g, act, ids, poses_sel, valid_sel, Fb)
+    dets = _build_detections_fast(est, g, act, ids, poses_sel, valid_sel,
+                                  Fb, yaw_obs=yaw_obs)
     if dets is None:
         return None
     det_dir, det_tb, det_invdep, det_valid, det_depth = dets
@@ -796,7 +828,7 @@ def build_dense_fast(est) -> Optional[tuple]:
         det_valid=det_valid, det_has_depth=det_depth,
         loops=loops,
         pose_valid=pose_valid, pose_fixed=pose_fixed,
-        yaw_fixed=np.zeros((Fb, D), bool),
+        yaw_fixed=yaw_fixed,
         ant_pos=ant,
     )
     return graph, init, idmap

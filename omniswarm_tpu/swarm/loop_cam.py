@@ -146,7 +146,11 @@ class LoopCam:
                 # tunnel; normalize on device
                 imgs = imgs.astype(jnp.float32) * (1.0 / 255.0)
             xy, _scores, desc, valid = sp._extract_impl(sp_params, imgs)
-            gdesc = gd.model.apply(gd_params, lefts[..., None])
+            # NetVLAD's contract is grayscale in [0,1] (netvlad.py): feed
+            # the normalized batch, NOT raw lefts — the uint8 wire path
+            # would otherwise compute global descriptors on 0-255 inputs
+            # incomparable with float-path keyframes (ADVICE r4 high).
+            gdesc = gd.model.apply(gd_params, imgs[:B])
             xy = xy.astype(jnp.float32)
             xy_l, xy_r = xy[:B], xy[B:]
             desc_l, desc_r = desc[:B], desc[B:]

@@ -582,7 +582,13 @@ class LoopDetector:
         for old, sim in cands:
             thres, min_inliers = mode_gates(old)
             if sim < thres:
-                continue
+                # same override contract as the batched path above:
+                # sub-threshold retrieval may still verify geometrically
+                # when geometric_override_matches asks for it (ADVICE r4)
+                if self.p.geometric_override_matches <= 0:
+                    continue
+                min_inliers = max(min_inliers,
+                                  self.p.geometric_override_matches)
             db, vb, kb, pb = pad(old)
             self._key, sub = jax.random.split(self._key)
             out = _verify_one_kernel(

@@ -75,6 +75,27 @@ def test_fused_matches_fallback(cam_pair):
     np.testing.assert_allclose(p_a[both], p_b[both], atol=5e-2)
 
 
+def test_fused_uint8_matches_float(cam_pair):
+    """uint8 wire format must equal the float path up to quantization —
+    especially the NetVLAD global descriptor, which reads the NORMALIZED
+    batch (ADVICE r4 high: raw 0-255 inputs made gdesc cosine ~0.35)."""
+    fused, _ = cam_pair
+    lefts = _images(3, seed=21)
+    rights = np.clip(lefts + _images(3, seed=22) * 0.01, 0, 1)
+    l8 = np.round(lefts * 255.0).astype(np.uint8)
+    r8 = np.round(rights * 255.0).astype(np.uint8)
+    xy_f, d_f, g_f, p_f, ok_f = fused.extract_stereo_batch(
+        l8.astype(np.float32) / 255.0, r8.astype(np.float32) / 255.0)
+    xy_u, d_u, g_u, p_u, ok_u = fused.extract_stereo_batch(l8, r8)
+    gf = np.asarray(g_f, np.float32)
+    gu = np.asarray(g_u, np.float32)
+    cos = (gf * gu).sum(1) / (
+        np.linalg.norm(gf, axis=1) * np.linalg.norm(gu, axis=1))
+    assert (cos > 0.999).all(), cos
+    np.testing.assert_allclose(d_u, d_f, atol=5e-3)
+    np.testing.assert_allclose(xy_u, xy_f, atol=0.1)
+
+
 def test_batch_bucketing_pads_and_unpads(cam_pair):
     fused, _ = cam_pair
     lefts = _images(5, seed=9)
