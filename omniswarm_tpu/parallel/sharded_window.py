@@ -137,10 +137,20 @@ def _assemble_sharded(g: DenseGraph, poses_loc, *, axis: str,
     m = 4 * D
     dtype = poses_loc.dtype
 
-    halo_pose = _halo_next(poses_loc, axis, nshards)          # (D, 4)
-    halo_pvalid = _halo_next(g.pose_valid, axis, nshards)
-    halo_pfixed = _halo_next(g.pose_fixed, axis, nshards)
-    halo_yfixed = _halo_next(g.yaw_fixed, axis, nshards)
+    # ONE packed halo ppermute instead of four (pose + 3 masks): the halo
+    # exchange is latency-bound (a few KB), so collective COUNT is the
+    # cost — pack [pose | valid | fixed | yaw_fixed] into (Fs, D, 7)
+    # (VERDICT r4 item 6: reduce the per-iteration collective count)
+    packed = jnp.concatenate(
+        [poses_loc.astype(dtype),
+         g.pose_valid[..., None].astype(dtype),
+         g.pose_fixed[..., None].astype(dtype),
+         g.yaw_fixed[..., None].astype(dtype)], -1)           # (Fs, D, 7)
+    halo = _halo_next(packed, axis, nshards)                  # (D, 7)
+    halo_pose = halo[..., :4]
+    halo_pvalid = halo[..., 4] > 0.5
+    halo_pfixed = halo[..., 5] > 0.5
+    halo_yfixed = halo[..., 6] > 0.5
     last = p == nshards - 1
     halo_pvalid = jnp.where(last, jnp.zeros_like(halo_pvalid), halo_pvalid)
 
@@ -173,12 +183,16 @@ def _assemble_sharded(g: DenseGraph, poses_loc, *, axis: str,
         g_loc, poses_ext, huber_delta=huber_delta,
         det_sphere_std=det_sphere_std, det_inv_dep_std=det_inv_dep_std)
 
-    # halo row → owner (next shard's local row 0)
-    A_in = _send_next(A_l[Fs], axis, nshards, p)
-    g_in = _send_next(g_l[Fs], axis, nshards, p)
+    # halo row → owner (next shard's local row 0), and the boundary
+    # coupling block the NEXT shard's SPIKE solve needs (its B_left = our
+    # B_right) — all in ONE packed ppermute: [A_halo | g_halo | B_right]
+    Bfull = B_l                                              # (Fs, m, m)
+    send = jnp.concatenate(
+        [A_l[Fs], g_l[Fs][:, None], Bfull[-1]], -1)          # (m, 2m+1)
+    recv = _send_next(send, axis, nshards, p)
+    A_in, g_in, B_left = recv[:, :m], recv[:, m], recv[:, m + 1:]
     A_p = A_l[:Fs].at[0].add(A_in)
     g_p = g_l[:Fs].at[0].add(g_in)
-    Bfull = B_l                                              # (Fs, m, m)
 
     # --- loop closures: replicated terms, shard-local U rows -------------
     l = g.loops
@@ -235,16 +249,18 @@ def _assemble_sharded(g: DenseGraph, poses_loc, *, axis: str,
             (1.0 - mflat), 0.0, 1.0)[:, :, None] * jnp.eye(m, dtype=dtype)
     U = U * mflat[:, :, None]
     gflat = gflat * mflat
-    return A_p, Bfull, gflat, U, cost
+    return A_p, Bfull, gflat, U, cost, B_left
 
 
 @highp
 def _smw_spike(A, Bfull, gflat, U, lam, *, axis: str,
-               direct_threshold: int = 8):
+               direct_threshold: int = 8, B_left=None):
     """Damped (T + U U^T) dx = -g with the frame axis sharded.
 
     Local rows of the block-tridiagonal sweep via SPIKE; the (C, C)
-    capacitance is psum-reduced and solved replicated.
+    capacitance is psum-reduced and solved replicated. ``B_left`` (the
+    previous shard's boundary coupling) skips the SPIKE-internal
+    ppermute when the assembly already exchanged it.
     """
     Fs, m = A.shape[0], A.shape[1]
     C = U.shape[-1]
@@ -254,7 +270,8 @@ def _smw_spike(A, Bfull, gflat, U, lam, *, axis: str,
     Ad = A + d[..., None] * jnp.eye(m, dtype=A.dtype)[None]
     rhs = jnp.concatenate([-gflat[..., None], U], -1)        # (Fs, m, 1+C)
     Y = spike_local_solve(Ad, Bfull, rhs, axis=axis,
-                          direct_threshold=direct_threshold)
+                          direct_threshold=direct_threshold,
+                          B_left=B_left)
     yb, YU = Y[..., 0], Y[..., 1:]
     S_part = jnp.einsum("fmc,fmd->cd", U, YU)
     Uyb_part = jnp.einsum("fmc,fm->c", U, yb)
@@ -275,7 +292,7 @@ def _lm_body_sharded(g: DenseGraph, poses0, *, axis: str,
     smw = functools.partial(_smw_spike, axis=axis,
                             direct_threshold=direct_threshold)
 
-    A0, B0, g0, U0, cost_p = assemble(poses0)
+    A0, B0, g0, U0, cost_p, Bl0 = assemble(poses0)
     cost0 = jax.lax.psum(cost_p, axis)
     lam0 = jnp.asarray(1e-4, poses0.dtype)
 
@@ -283,12 +300,12 @@ def _lm_body_sharded(g: DenseGraph, poses0, *, axis: str,
         return (~state[-1]) & (state[-2] < max_iterations)
 
     def body(state):
-        poses, A, B, gf, U, cost, lam, it, _ = state
-        dx = smw(A, B, gf, U, lam)
+        poses, A, B, gf, U, Bl, cost, lam, it, _ = state
+        dx = smw(A, B, gf, U, lam, B_left=Bl)
         bad = ~jnp.all(jnp.isfinite(dx))
         bad = jax.lax.pmax(bad.astype(jnp.int32), axis) > 0  # replicated
         new_poses = _apply_step(poses, jnp.where(bad, 0.0, dx))
-        An, Bn, gn, Un, cost_part = assemble(new_poses)
+        An, Bn, gn, Un, cost_part, Bln = assemble(new_poses)
         new_cost = jax.lax.psum(cost_part, axis)
         accept = jnp.isfinite(new_cost) & (new_cost < cost) & ~bad
         poses = jnp.where(accept, new_poses, poses)
@@ -296,17 +313,18 @@ def _lm_body_sharded(g: DenseGraph, poses0, *, axis: str,
         B = jnp.where(accept, Bn, B)
         gf = jnp.where(accept, gn, gf)
         U = jnp.where(accept, Un, U)
+        Bl = jnp.where(accept, Bln, Bl)
         out_cost = jnp.where(accept, new_cost, cost)
         lam = jnp.clip(jnp.where(accept, lam * 0.3, lam * 5.0), 1e-10, 1e10)
         converged = accept & (cost - new_cost <= function_tolerance * cost)
         stalled = (~accept) & (lam >= 1e9)
-        return (poses, A, B, gf, U, out_cost, lam, it + 1,
+        return (poses, A, B, gf, U, Bl, out_cost, lam, it + 1,
                 converged | stalled)
 
-    state0 = (poses0, A0, B0, g0, U0, cost0, lam0,
+    state0 = (poses0, A0, B0, g0, U0, Bl0, cost0, lam0,
               jnp.zeros((), jnp.int32), jnp.asarray(False))
     out = jax.lax.while_loop(cond, body, state0)
-    return out[0], out[5], cost0, out[7], out[6]
+    return out[0], out[6], cost0, out[8], out[7]
 
 
 def lm_solve_bt_sharded(graph: DenseGraph, poses0: jnp.ndarray, mesh: Mesh,

@@ -43,7 +43,7 @@ def test_sharded_assembly_matches_dense(problem):
     g8, poses8, F = pad_graph_frames(graph, poses, 8)
 
     def wrapped(g, poses):
-        A, B, gf, U, cost = _assemble_sharded(
+        A, B, gf, U, cost, _B_left = _assemble_sharded(
             g, poses, axis="frames", huber_delta=1.0, det_sphere_std=0.1,
             det_inv_dep_std=0.5)
         return A, B, gf, U, cost[None]

@@ -88,13 +88,13 @@ def sharded_iter_hlo(F: int, D: int, n_dev: int, loop_every: int = 16):
     graph, poses0, _ = pad_graph_frames(graph, poses0, n_dev)
 
     def one_iter(g, poses):
-        A, B, gf, U, cost_p = _assemble_sharded(
+        A, B, gf, U, cost_p, B_left = _assemble_sharded(
             g, poses, axis="frames", huber_delta=1.0,
             det_sphere_std=0.1, det_inv_dep_std=0.5)
         import jax as _jax
         cost = _jax.lax.psum(cost_p, "frames")
         dx = _smw_spike(A, B, gf, U, jnp.asarray(1e-4, jnp.float32),
-                        axis="frames")
+                        axis="frames", B_left=B_left)
         return dx, cost
 
     fn = jax.jit(jax.shard_map(
