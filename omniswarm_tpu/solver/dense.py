@@ -937,24 +937,38 @@ def _pcg_solve_core(A, Boff, g, sl: SparseLoops, lam, warm=None, *,
         y = bt_apply(fac, rp)
         return (unpack_bt_cols(y, pack, F) if pack > 1 else y)[..., 0]
 
+    # endpoint blocks concatenated once: ONE gather + ONE scatter per
+    # matvec instead of two of each (the CG body runs cg_iters times —
+    # kernel count is the cost at these tiny (F, m) vector sizes)
+    L = sl.ja.shape[0]
+    rows2 = jnp.concatenate([sl.rows_a, sl.rows_b], 0)       # (2L, 4)
+    jab = jnp.concatenate([sl.ja, sl.jb], 0)                 # (2L, 4, 4)
+
     def hmul(v):
         """Damped-Hessian matvec: BT part + sparse loop part."""
         y = jnp.einsum("fij,fj->fi", Ad, v)
         y = y.at[:-1].add(jnp.einsum("fij,fj->fi", Boff, v[1:]))
         y = y.at[1:].add(jnp.einsum("fji,fj->fi", Boff, v[:-1]))
         vf = v.reshape(-1)
-        t = (jnp.einsum("kci,ki->kc", sl.ja, vf[sl.rows_a])
-             + jnp.einsum("kci,ki->kc", sl.jb, vf[sl.rows_b]))
+        th = jnp.einsum("kci,ki->kc", jab, vf[rows2])        # (2L, 4)
+        t2 = th[:L] + th[L:]                                 # J_a v + J_b v
+        contrib = jnp.einsum("kci,kc->ki", jab,
+                             jnp.concatenate([t2, t2], 0))
         add = jnp.zeros_like(vf)
-        add = add.at[sl.rows_a.reshape(-1)].add(
-            jnp.einsum("kci,kc->ki", sl.ja, t).reshape(-1))
-        add = add.at[sl.rows_b.reshape(-1)].add(
-            jnp.einsum("kci,kc->ki", sl.jb, t).reshape(-1))
+        add = add.at[rows2.reshape(-1)].add(contrib.reshape(-1))
         return y + add.reshape(F, m)
 
     b = -g
-    x = jnp.zeros_like(b)
-    r = b
+    if warm is None or len(warm) < 3:
+        x = jnp.zeros_like(b)
+        r = b
+    else:
+        # CG warm start from the previous LM iteration's step: the damped
+        # Hessian and gradient change by O(step) between iterations, so
+        # dx_prev is already close — one extra hmul buys most of the CG
+        # sweeps back (same logic as the warm Newton-Schulz chain)
+        x = warm[2]
+        r = b - hmul(x)
     z = precond(r)
     p_ = z
     rz = jnp.sum(r * z)
@@ -972,8 +986,11 @@ def _pcg_solve_core(A, Boff, g, sl: SparseLoops, lam, warm=None, *,
         return x, r, p_, rz_new
 
     x, r, p_, rz = jax.lax.fori_loop(0, cg_iters, step, (x, r, p_, rz))
+    # a non-finite warm start (shouldn't happen, but a diverged lane's dx
+    # would poison every later iteration) falls back to the zero start
+    x = jnp.where(jnp.all(jnp.isfinite(x)), x, jnp.zeros_like(x))
     lvl, tail = bt_warm_state(fac)
-    return x.reshape(-1), (lvl, tail)
+    return x.reshape(-1), (lvl, tail, x)
 
 
 @highp
