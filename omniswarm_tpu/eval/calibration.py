@@ -124,6 +124,39 @@ def apply_uwb_calibrations(config, calibs: Dict[Tuple[int, int],
         node.uwb_scale[b] = cal.scale
 
 
+def fit_uwb_anchor(pos: np.ndarray, raw: np.ndarray) -> Dict[str, object]:
+    """Fit a STATIC-anchor UWB model to a single-tag log: measured =
+    |pos - anchor| + bias, solved by least squares over (anchor, bias).
+
+    This is what the reference's hover_vicon_uwb.csv records (Vicon pose
+    columns + one raw UWB range in the extra trailing column): a hovering
+    drone ranging a fixed anchor. Scale is NOT identifiable from a hover
+    (the true distance barely changes), so it is pinned at 1 and the
+    fit's residual std IS the real sensor noise floor — the number the
+    replay campaign uses instead of an ad hoc synthesis constant.
+    """
+    from scipy.optimize import least_squares
+
+    pos = np.asarray(pos, float)
+    raw = np.asarray(raw, float).ravel()
+
+    def resid(x):
+        return np.linalg.norm(pos - x[:3], axis=1) + x[3] - raw
+
+    x0 = np.zeros(4)
+    x0[:3] = pos.mean(0) + np.array([1.0, 0.0, -1.0])
+    fit = least_squares(resid, x0)
+    r = fit.fun
+    return {
+        "anchor": [round(float(v), 4) for v in fit.x[:3]],
+        "bias": round(float(fit.x[3]), 4),
+        "residual_std": float(np.std(r)),
+        "residual_rms": float(np.sqrt(np.mean(r ** 2))),
+        "num_samples": int(raw.size),
+        "raw_mean": float(raw.mean()),
+    }
+
+
 def _yaw_rotate_inv(yaw: float, v: np.ndarray) -> np.ndarray:
     """Rotate world-frame vector(s) into the yaw frame (R(-yaw) @ v)."""
     c, s = np.cos(yaw), np.sin(yaw)

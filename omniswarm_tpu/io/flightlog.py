@@ -78,6 +78,8 @@ def replay_dataset(
     vio_pos_drift_per_step: float = 0.01,
     vio_yaw_drift_per_step: float = 0.002,
     uwb_noise_std: float = 0.1,
+    uwb_bias: Optional[np.ndarray] = None,
+    uwb_scale: Optional[np.ndarray] = None,
     seed: int = 0,
     synth_loops: bool = False,
     loop_every: int = 5,
@@ -116,7 +118,16 @@ def replay_dataset(
     true_d = np.linalg.norm(diff, axis=-1)
     noise = rng.normal(0, uwb_noise_std, size=true_d.shape)
     noise = 0.5 * (noise + np.swapaxes(noise, 1, 2))
-    ranges = np.maximum(true_d + noise, 0.0)
+    # per-pair sensor miscalibration in the NodeConfig convention
+    # (measured = bias + scale * true, Node::to_real_distance,
+    # swarm_localization_node.cpp:88); the real swarm_nodes5.yaml carries
+    # fitted values like scale 0.95 — eval/calibration.py fits these back
+    meas = true_d
+    if uwb_scale is not None:
+        meas = meas * np.asarray(uwb_scale)[None]
+    if uwb_bias is not None:
+        meas = meas + np.asarray(uwb_bias)[None]
+    ranges = np.maximum(meas + noise, 0.0)
     range_valid = np.ones((num_frames, D, D), bool)
     np.einsum("fdd->fd", ranges)[:] = 0.0
     np.einsum("fdd->fd", range_valid)[:] = False

@@ -154,6 +154,38 @@ def query2_add_batch(db_a: PlaceDB, db_b: PlaceDB, descs: jnp.ndarray,
     return ia, sa, ib, sb, insert(db_a, 1), insert(db_b, 2)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def query2_add_payload_batch(db_a: PlaceDB, db_b: PlaceDB,
+                             pay_a: jnp.ndarray, pay_b: jnp.ndarray,
+                             descs: jnp.ndarray, metas: jnp.ndarray,
+                             add_sel: jnp.ndarray, qpacks: jnp.ndarray, *,
+                             k: int = 5):
+    """query2_add_batch + DEVICE-RESIDENT landmark-payload rings.
+
+    pay_a/pay_b: (N, Kb, P) f16 rings mirroring the descriptor ring slots
+    — each keyframe's packed landmark payload (local descs + validity +
+    pixels + 3-D points, loop_detector._unpack_kf layout) lives in HBM so
+    the geometric-verify dispatch can GATHER candidates by index instead
+    of the host re-uploading (C, Kb, P) packs every tick (~MBs at 30 MB/s
+    over the remote tunnel — the dominant share of r4's 216 ms keyframe
+    latency). qpacks: (Q, Kb, P) f16, scattered at the same insert slots.
+
+    Returns (idx_a, sim_a, idx_b, sim_b, db_a', db_b', pay_a', pay_b').
+    """
+    ia, sa, ib, sb, na, nb = query2_add_batch(
+        db_a, db_b, descs, metas, add_sel, k=k)
+
+    def scatter(db, pay, sel_val):
+        m = add_sel == sel_val
+        rank = jnp.cumsum(m) - 1
+        cap = pay.shape[0]
+        slot = jnp.where(m, (db.cursor + rank) % cap, cap)
+        return pay.at[slot].set(qpacks.astype(pay.dtype), mode="drop")
+
+    return (ia, sa, ib, sb, na, nb,
+            scatter(db_a, pay_a, 1), scatter(db_b, pay_b, 2))
+
+
 @jax.jit
 def query_batch(db: PlaceDB, desc: jnp.ndarray, query_drone: jnp.ndarray,
                 query_frame: jnp.ndarray, *,

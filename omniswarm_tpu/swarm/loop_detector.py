@@ -135,20 +135,9 @@ def _verify_batch_kernel(query_packed, cands_packed, seed,
     )(descs_b, valids_b, kps_b, p3ds_b, keys)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("pnp_hyp", "use_hom"))
-def _verify_multi_kernel(qpacks, cpacks, seed,
-                         *, pnp_hyp: int, use_hom: bool,
-                         pnp_err, hom_err):
-    """Verify Q queries × C candidates in ONE dispatch.
-
-    qpacks: (Q, Kb, Cdim+6) f16, cpacks: (Q, C, Kb, Cdim+6) f16 — the
-    serving batch for one comm-scan tick (a node's received remote
-    keyframes, plus its own). Two fused dispatches per tick replace
-    ~3 round trips per keyframe (~35 ms each over the tunnel).
-    """
-    qpacks = qpacks.astype(jnp.float32)
-    cpacks = cpacks.astype(jnp.float32)
+def _verify_multi_kernel_impl(qpacks, cpacks, seed,
+                              *, pnp_hyp: int, use_hom: bool,
+                              pnp_err, hom_err):
     Q, C = cpacks.shape[:2]
     keys = jax.random.split(jax.random.PRNGKey(seed), Q * C)
     keys = keys.reshape((Q, C) + keys.shape[1:])
@@ -164,6 +153,49 @@ def _verify_multi_kernel(qpacks, cpacks, seed,
         )(db, vb, kb, pb, ks)
 
     return jax.vmap(per_query)(qpacks, cpacks, keys)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("pnp_hyp", "use_hom"))
+def _verify_multi_kernel(qpacks, cpacks, seed,
+                         *, pnp_hyp: int, use_hom: bool,
+                         pnp_err, hom_err):
+    """Verify Q queries × C candidates in ONE dispatch.
+
+    qpacks: (Q, Kb, Cdim+6) f16, cpacks: (Q, C, Kb, Cdim+6) f16 — the
+    serving batch for one comm-scan tick (a node's received remote
+    keyframes, plus its own). Two fused dispatches per tick replace
+    ~3 round trips per keyframe (~35 ms each over the tunnel).
+    """
+    return _verify_multi_kernel_impl(
+        qpacks.astype(jnp.float32), cpacks.astype(jnp.float32), seed,
+        pnp_hyp=pnp_hyp, use_hom=use_hom,
+        pnp_err=pnp_err, hom_err=hom_err)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("pnp_hyp", "use_hom"))
+def _verify_multi_gather_kernel(qpacks, pay_a, pay_b, src, idx, seed,
+                                *, pnp_hyp: int, use_hom: bool,
+                                pnp_err, hom_err):
+    """Verify Q queries × C candidates, candidates GATHERED on device.
+
+    pay_a/pay_b: the (N, Kb, P) f16 payload rings kept in HBM by
+    ops/placedb.query2_add_payload_batch; src/idx: (Q, C) i32 candidate
+    addresses (src 0 = local ring, 1 = remote ring, -1 = pad). The host
+    uploads only the query packs + a few hundred bytes of indices —
+    r4's _verify_multi_kernel re-uploaded every candidate payload
+    ((Q, C, Kb, P) f16, ~MBs) across the ~30 MB/s tunnel every tick.
+    """
+    N = pay_a.shape[0]
+    store = jnp.concatenate([pay_a, pay_b], 0)           # (2N, Kb, P)
+    gidx = jnp.clip(idx + jnp.maximum(src, 0) * N, 0, 2 * N - 1)
+    cpacks = store[gidx]                                 # (Q, C, Kb, P)
+    cpacks = jnp.where((src >= 0)[..., None, None], cpacks, 0)
+    return _verify_multi_kernel_impl(
+        qpacks.astype(jnp.float32), cpacks.astype(jnp.float32), seed,
+        pnp_hyp=pnp_hyp, use_hom=use_hom,
+        pnp_err=pnp_err, hom_err=hom_err)
 
 
 @dataclass
@@ -189,6 +221,12 @@ class LoopDetector:
         self._local_count = 0
         self._remote_count = 0
         self.pair_loop_count: Dict[Tuple[int, int], int] = {}
+        # device-resident landmark-payload rings (batch serving path):
+        # lazily sized (max_db_size, Kb, Cdim+6) f16 on the first batch —
+        # candidates gather by index on device instead of the host
+        # re-uploading every candidate pack each tick
+        self._pay_local = None
+        self._pay_remote = None
         self._key = jax.random.PRNGKey(seed)
         # host-side RNG seed base for the batched verify kernel: deriving
         # subkeys with jax.random.split is itself a device dispatch (a
@@ -292,10 +330,16 @@ class LoopDetector:
 
         The serving batch for one comm-scan tick: all remote keyframes a
         node received (plus optionally its own). Dispatch 1 queries both
-        databases for every keyframe AND ring-inserts the batch
-        (placedb.query2_add_batch — queries see the pre-batch database,
-        batch members don't see each other). Dispatch 2 geometrically
-        verifies every (query, candidate) pair (_verify_multi_kernel).
+        databases for every keyframe AND ring-inserts the batch — global
+        descriptors AND packed landmark payloads — on device
+        (placedb.query2_add_payload_batch; queries see the pre-batch
+        database, batch members don't see each other). Dispatch 2
+        geometrically verifies every (query, candidate) pair with the
+        candidate payloads GATHERED from the device rings by index
+        (_verify_multi_gather_kernel) — the host uploads each keyframe's
+        payload exactly once, ever, instead of re-uploading every
+        candidate pack every tick (r4: (Q, C, Kb, P) f16 ≈ MBs/tick over
+        a ~30 MB/s tunnel — most of the 216 ms keyframe latency).
         Returns a list of lists of accepted LoopCandidates, aligned with
         ``kfs``. Falls back to the sequential path when verify_batch is
         off."""
@@ -337,11 +381,50 @@ class LoopDetector:
                 use_a[i] = self._local_count > 0
                 use_b[i] = self._remote_count > 0
                 add_sel[i] = 1
-        out = placedb.query2_add_batch(
-            self.local_db, self.remote_db, jnp.asarray(descs),
-            jnp.asarray(metas), jnp.asarray(add_sel),
+
+        # payload rings: fixed (N, Kb, P) f16, sized on first use
+        Cdim = int(kfs[0].local_desc.shape[1])
+        P = Cdim + 6
+        if self._pay_local is None:
+            Kb = max(p.max_keypoints,
+                     max(int(kf.local_desc.shape[0]) for kf in kfs))
+            Kb = ((Kb + 63) // 64) * 64
+            shape = (p.max_db_size, Kb, P)
+            self._pay_local = jnp.zeros(shape, jnp.float16)
+            self._pay_remote = jnp.zeros(shape, jnp.float16)
+        Kb = int(self._pay_local.shape[1])
+
+        def pack16(o, out):
+            kk = min(int(o.local_desc.shape[0]), Kb)
+            out[:kk, :Cdim] = o.local_desc[:kk]
+            out[:kk, Cdim] = o.valid[:kk]
+            out[:kk, Cdim + 1:Cdim + 3] = o.kp_xy[:kk]
+            out[:kk, Cdim + 3:Cdim + 6] = o.landmarks_3d[:kk]
+            return out
+
+        qpacks = np.zeros((Qb, Kb, P), np.float16)
+        for i, kf in enumerate(kfs):
+            pack16(kf, qpacks[i])
+        qdev = jnp.asarray(qpacks)           # uploaded once, used twice
+
+        out = placedb.query2_add_payload_batch(
+            self.local_db, self.remote_db, self._pay_local,
+            self._pay_remote, jnp.asarray(descs),
+            jnp.asarray(metas), jnp.asarray(add_sel), qdev,
             k=p.search_nearest_num)
         ia, sa, ib, sb = jax.device_get(out[:4])
+
+        # slots this batch overwrites: their ring payload now belongs to
+        # the NEW keyframe, so a (rare: full ring) candidate pointing at
+        # one must be dropped rather than verified against the wrong data
+        cap = p.max_db_size
+        n_ins_a = int((add_sel == 1).sum())
+        n_ins_b = int((add_sel == 2).sum())
+        over_a = {(self._local_count + r) % cap for r in range(n_ins_a)
+                  if self._local_count + r >= cap}
+        over_b = {(self._remote_count + r) % cap for r in range(n_ins_b)
+                  if self._remote_count + r >= cap}
+
         # candidate lists come from the PRE-insert slot dicts (a full ring
         # buffer may overwrite a just-matched slot otherwise)
         floor = min(p.netvlad_thres, p.netvlad_init_thres)
@@ -351,17 +434,22 @@ class LoopDetector:
             if use_a[i]:
                 for j, s in zip(ia[i], sa[i]):
                     if np.isfinite(s) and s >= floor \
-                            and int(j) in self.local_kfs:
-                        cands.append((self.local_kfs[int(j)], float(s)))
+                            and int(j) in self.local_kfs \
+                            and int(j) not in over_a:
+                        cands.append(
+                            (self.local_kfs[int(j)], float(s), 0, int(j)))
             if use_b[i]:
                 for j, s in zip(ib[i], sb[i]):
                     if np.isfinite(s) and s >= floor \
-                            and int(j) in self.remote_kfs:
-                        cands.append((self.remote_kfs[int(j)], float(s)))
+                            and int(j) in self.remote_kfs \
+                            and int(j) not in over_b:
+                        cands.append(
+                            (self.remote_kfs[int(j)], float(s), 1, int(j)))
             cands.sort(key=lambda t: -t[1])
             cand_lists.append(cands[:p.search_nearest_num])
-        # commit the inserts: device DBs + host slot dicts/counters
+        # commit the inserts: device DBs + payload rings + host dicts
         self.local_db, self.remote_db = out[4], out[5]
+        self._pay_local, self._pay_remote = out[6], out[7]
         for i, (kf, pr) in enumerate(zip(kfs, prevent_flags)):
             if add_sel[i] == 1:
                 self.local_kfs[self._local_count % p.max_db_size] = kf
@@ -374,32 +462,17 @@ class LoopDetector:
         if not any(cand_lists):
             return results
         # ---- one fused verify over every (query, candidate) pair ----
-        Kb = max(int(o.local_desc.shape[0])
-                 for cl in cand_lists for o, _ in cl)
-        Kb = max(Kb, max(int(kf.local_desc.shape[0]) for kf in kfs),
-                 p.max_keypoints)
-        Kb = ((Kb + 63) // 64) * 64
-        Cdim = int(kfs[0].local_desc.shape[1])
         Cb = p.search_nearest_num
-        P = Cdim + 6
-
-        def pack16(o, out):
-            kk = o.local_desc.shape[0]
-            out[:kk, :Cdim] = o.local_desc
-            out[:kk, Cdim] = o.valid
-            out[:kk, Cdim + 1:Cdim + 3] = o.kp_xy
-            out[:kk, Cdim + 3:Cdim + 6] = o.landmarks_3d
-            return out
-
-        qpacks = np.zeros((Qb, Kb, P), np.float16)
-        cpacks = np.zeros((Qb, Cb, Kb, P), np.float16)
-        for i, kf in enumerate(kfs):
-            pack16(kf, qpacks[i])
-            for c, (old, _s) in enumerate(cand_lists[i]):
-                pack16(old, cpacks[i, c])
+        src = np.full((Qb, Cb), -1, np.int32)
+        idx = np.zeros((Qb, Cb), np.int32)
+        for i in range(n):
+            for c, (_old, _s, s_, j_) in enumerate(cand_lists[i]):
+                src[i, c] = s_
+                idx[i, c] = j_
         self._seed_counter += 1
-        out2 = _verify_multi_kernel(
-            jnp.asarray(qpacks), jnp.asarray(cpacks),
+        out2 = _verify_multi_gather_kernel(
+            qdev, self._pay_local, self._pay_remote,
+            jnp.asarray(src), jnp.asarray(idx),
             np.uint32(self._seed0 + self._seed_counter),
             pnp_hyp=p.pnp_iterations,
             use_hom=bool(p.homography_prefilter),
@@ -409,7 +482,7 @@ class LoopDetector:
         for i, kf in enumerate(kfs):
             ka = len(kf.valid)
             accepted = []
-            for c, (old, sim) in enumerate(cand_lists[i]):
+            for c, (old, sim, _src, _slot) in enumerate(cand_lists[i]):
                 init_mode = self._init_mode(
                     old.drone_id if kf.drone_id == self.self_id
                     else kf.drone_id)
