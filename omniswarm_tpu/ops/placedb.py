@@ -82,7 +82,7 @@ def query_topk(db: PlaceDB, desc: jnp.ndarray, query_drone: jnp.ndarray,
     recent = (db.drone_id == query_drone) & (
         jnp.abs(db.frame_id - query_frame) < match_index_dist)
     sim = jnp.where(db.valid & ~recent, sim, -jnp.inf)
-    top_sim, top_idx = jax.lax.top_k(sim, k)
+    top_sim, top_idx = jax.lax.top_k(sim, min(k, sim.shape[0]))
     return top_idx.astype(jnp.int32), top_sim
 
 
@@ -96,6 +96,8 @@ def query_topk2(db_a: PlaceDB, db_b: PlaceDB, desc: jnp.ndarray,
     the local+remote candidate search (loop_detector.cpp:176-242) is one
     fused program returning both top-k sets.
     """
+    k = min(k, db_a.desc.shape[0])          # tiny-capacity DBs
+
     def one(db, guard):
         sim = db.desc @ desc
         recent = (db.drone_id == meta[0]) & (
@@ -125,6 +127,8 @@ def query2_add_batch(db_a: PlaceDB, db_b: PlaceDB, descs: jnp.ndarray,
     Replaces per-keyframe query + add dispatch pairs: each dispatch +
     download is a ~35 ms round trip over the remote-TPU tunnel.
     """
+    k = min(k, db_a.desc.shape[0])          # tiny-capacity DBs
+
     def one(db, guard_col):
         sims = descs @ db.desc.T                            # (Q, N) — MXU
         recent = (db.drone_id[None, :] == metas[:, 0:1]) & (

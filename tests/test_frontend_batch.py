@@ -172,3 +172,36 @@ def test_batched_verify_matches_walk():
     for c in batch[1:]:
         np.testing.assert_allclose(c.edge.dpose[:3], walk[0].edge.dpose[:3],
                                    atol=0.1)
+
+
+def test_payload_ring_survives_wraparound():
+    """Device payload rings stay slot-consistent with the descriptor ring
+    after the DB wraps: loops verified via the gather kernel must match
+    the correct (newest) keyframe payloads, and candidates whose slot is
+    overwritten by the same batch's inserts are dropped, not verified
+    against the wrong landmarks."""
+    from omniswarm_tpu.swarm.loop_detector import LoopDetector
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-2, 2, size=(40, 3)).astype(np.float32)
+    pts[:, 0] += 4.0
+    ldesc = _scene_descs(rng)
+    g = _gdesc(rng)
+    p = FrontendParams(min_loop_matches=15, homography_prefilter=False,
+                      verify_batch=True, max_db_size=3,
+                      netvlad_thres=0.3, match_index_dist=1)
+    det = LoopDetector(0, p, global_dim=64, seed=4)
+    # 6 keyframes of the same place through a size-3 ring: every insert
+    # after the third overwrites a slot
+    accepted = []
+    for f in range(6):
+        noise = rng.normal(0, 0.01, size=pts.shape).astype(np.float32)
+        kf = _make_kf(0, f, float(f), [0.02 * f, 0, 0, 0], pts + noise,
+                      _gdesc(g + 0.005 * f), ldesc)
+        accepted.append(det.on_keyframes_batch([kf])[0])
+    # revisits must still verify after the wrap (slots hold live payloads)
+    assert any(len(a) > 0 for a in accepted[3:])
+    for a in accepted:
+        for cand in a:
+            # each accepted loop's dpose reflects the true tiny motion
+            assert abs(float(cand.edge.dpose[0])) < 0.3
