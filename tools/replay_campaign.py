@@ -76,7 +76,7 @@ def auto_offset(path: str, span: float) -> float:
 
 
 def run_group(logs, *, frames, dt, kf_movement, sigma, inject, calibrate,
-              seed, solve_every=10):
+              seed, solve_every=10, loop_every=5):
     from omniswarm_tpu.config import NodeConfig, SolverParams
     from omniswarm_tpu.eval import metrics
     from omniswarm_tpu.eval.calibration import (apply_uwb_calibrations,
@@ -97,11 +97,32 @@ def run_group(logs, *, frames, dt, kf_movement, sigma, inject, calibrate,
         np.fill_diagonal(bias, 0.0)
     data = replay_dataset(logs, num_frames=frames, dt=dt,
                           uwb_noise_std=sigma, uwb_bias=bias,
-                          uwb_scale=scale, seed=seed, synth_loops=True)
+                          uwb_scale=scale, seed=seed, synth_loops=True,
+                          loop_every=loop_every)
 
     node_configs = {}
     cal_report = None
+    vo_pos_pm = vo_yaw_pm = None
     if calibrate:
+        # odometry drift covariance fitted from the data (utils.py:105-156
+        # parity): per-meter VO error of each drone vs GT, averaged
+        from omniswarm_tpu.eval.calibration import (
+            odometry_covariance_per_meter)
+
+        ppm, ypm = [], []
+        for d in range(D):
+            try:
+                pc, yv = odometry_covariance_per_meter(
+                    data.vio[:, d, :3], data.vio[:, d, 3],
+                    data.gt[:, d, :3], data.gt[:, d, 3],
+                    rp_lengths=(1.0, 2.0))
+                ppm.append(float(np.trace(pc)) / 3.0)
+                ypm.append(float(yv))
+            except Exception:
+                pass
+        if ppm:
+            vo_pos_pm = float(np.median(ppm))
+            vo_yaw_pm = float(np.median(ypm))
         # the Vicon-session calibration fit (local_plot.py:294-304),
         # applied in the NodeConfig convention the estimator undoes
         calibs = uwb_pair_calibrations(data.ranges, data.range_valid,
@@ -123,10 +144,14 @@ def run_group(logs, *, frames, dt, kf_movement, sigma, inject, calibrate,
                     [c.std_calibrated for c in calibs.values()])), 4),
             }
 
+    kw = {}
+    if vo_pos_pm is not None:
+        kw["vo_cov_pos_per_meter"] = max(vo_pos_pm, 1e-5)
+        kw["vo_cov_yaw_per_meter"] = max(vo_yaw_pm, 1e-6)
     est = SwarmEstimator(
         SolverParams(self_id=0, pcm_redundant=True,
                      init_xy_movement=0.3, init_z_movement=0.02,
-                     kf_movement=kf_movement,
+                     kf_movement=kf_movement, **kw,
                      distance_measurement_cov=max(sigma ** 2, 1e-4),
                      # the default acpt_cost=100 was tuned for cov 0.02;
                      # with measured-noise covariance each residual is
@@ -168,6 +193,9 @@ def run_group(logs, *, frames, dt, kf_movement, sigma, inject, calibrate,
            "fused_relative_ate_cm": round(float(fused) * 100, 2),
            "vio_relative_ate_cm": round(float(vio_ate) * 100, 2),
            "keyframes": len(kf_idx), "loops": len(data.loops)}
+    if vo_pos_pm is not None:
+        res["vo_cov_fit_per_meter"] = {
+            "pos": round(vo_pos_pm, 6), "yaw": round(vo_yaw_pm, 7)}
     if cal_report:
         res["calibration"] = cal_report
     return res
