@@ -54,6 +54,10 @@ def main():
     ap.add_argument("--kf-every", type=int, default=2)
     ap.add_argument("--out", default="IMAGE_DEMO.json",
                     help="write the run's metrics artifact here")
+    ap.add_argument("--candidates", type=int, default=8,
+                    help="search_nearest_num: retrieval candidates per "
+                         "query (the r5 descriptor makes wider candidate "
+                         "sets safe to verify)")
     args = ap.parse_args()
     import time as _time
 
@@ -69,7 +73,8 @@ def main():
     fp = FrontendParams(max_db_size=512, min_loop_matches=17,
                         match_index_dist=4, netvlad_thres=0.35,
                         min_loop_matches_init=12,
-                        search_nearest_num=8, max_loops_per_query=3,
+                        search_nearest_num=args.candidates,
+                        max_loops_per_query=3,
                         geometric_override_matches=25,
                         pnp_iterations=256,
                         accept_loop_yaw_mod=float(np.pi / 2))
@@ -133,6 +138,8 @@ def main():
         bus.step(t + 0.01)
         for node in nodes:
             node.step(t + 0.02)
+        # progress heartbeat (run_with_retry stall watchdog keys on it)
+        print(f"frame {k + 1}/{F} kf={n_kf}", flush=True)
 
     print(f"keyframes: {n_kf} (4-direction stereo each); "
           f"loops found: {sum(n.loops_found for n in nodes)}, "

@@ -35,8 +35,21 @@ from omniswarm_tpu.models.train_superpoint import render_shapes
 # Synthetic places (host-side numpy)
 # ---------------------------------------------------------------------------
 
-def render_place(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
-    """A place = a dense canvas of shapes (more structure than a view)."""
+def render_place(rng: np.random.Generator, h: int, w: int,
+                 textured: bool = False) -> np.ndarray:
+    """A place = a dense canvas of shapes (more structure than a view).
+
+    ``textured``: filled textured polygons over multi-scale noise
+    (train_superpoint.render_textured) instead of line art — the imagery
+    family the image demo's RoomWorld walls actually look like. The r4
+    demo's missed revisits all sat at NetVLAD sim ~0.985: descriptors
+    trained on line art saturate on texture statistics."""
+    if textured:
+        from omniswarm_tpu.models.train_superpoint import render_textured
+
+        img, _ = render_textured(rng, h, w,
+                                 n_shapes=int(rng.integers(8, 14)))
+        return img
     img, _ = render_shapes(rng, h, w, n_shapes=int(rng.integers(10, 18)))
     return img
 
@@ -94,10 +107,11 @@ class PlacePool:
     """Pre-rendered canvas pool sampled for (place, 2 views) batches."""
 
     def __init__(self, n_places: int = 256, canvas: Tuple[int, int] = (224, 352),
-                 view: Tuple[int, int] = (96, 160), seed: int = 0):
+                 view: Tuple[int, int] = (96, 160), seed: int = 0,
+                 textured: bool = False):
         self.rng = np.random.default_rng(seed)
         self.view = view
-        self.places = [render_place(self.rng, *canvas)
+        self.places = [render_place(self.rng, *canvas, textured=textured)
                        for _ in range(n_places)]
 
     def batch(self, n: int) -> np.ndarray:
@@ -208,7 +222,8 @@ def train_netvlad(*, steps: int = 600, places_per_batch: int = 16,
                   save_every: Optional[int] = None,
                   save_path: Optional[str] = None,
                   resume_path: Optional[str] = None,
-                  encoder_version: int = 1):
+                  encoder_version: int = 1,
+                  textured: bool = False):
     """Train MobileNetVLAD (bundled architecture). Returns (params, history).
 
     The place pool renders once on the host; each step samples views and
@@ -229,7 +244,8 @@ def train_netvlad(*, steps: int = 600, places_per_batch: int = 16,
     model = MobileNetVLAD(num_clusters=BUNDLED_CLUSTERS,
                           out_dim=BUNDLED_OUT_DIM, use_proj=False,
                           encoder_version=encoder_version)
-    pool = PlacePool(pool_size, view=view, seed=seed)
+    pool = PlacePool(pool_size, view=view, seed=seed,
+                     textured=textured)
     places_dev = jax.device_put(jnp.asarray(np.stack(pool.places)))
     if params is None:
         params = model.init(jax.random.PRNGKey(seed),
@@ -316,7 +332,8 @@ def retrieval_metrics(params, *, n_places: int = 64, seed: int = 123,
                       noise: float = 0.03,
                       scale: Tuple[float, float] = (1.0, 1.0),
                       revisit_offset: Optional[float] = None,
-                      encoder_version: int = 1):
+                      encoder_version: int = 1,
+                      textured: bool = False):
     """recall@1 + similarity margin on held-out places (gallery vs query).
 
     Hardness knobs (rotation/lighting-noise/zoom jitter + n_places) define
@@ -332,7 +349,8 @@ def retrieval_metrics(params, *, n_places: int = 64, seed: int = 123,
     model = MobileNetVLAD(num_clusters=BUNDLED_CLUSTERS,
                           out_dim=BUNDLED_OUT_DIM, use_proj=False,
                           encoder_version=encoder_version)
-    pool = PlacePool(n_places, seed=seed, view=view)
+    pool = PlacePool(n_places, seed=seed, view=view,
+                     textured=textured)
     vh, vw = view
     gal = np.zeros((n_places, vh, vw, 1), np.float32)
     qry = np.zeros((n_places, vh, vw, 1), np.float32)

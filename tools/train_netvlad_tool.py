@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--continue-out", action="store_true",
                     help="if --out exists, resume from it (stall-relaunch "
                          "friendly: combine with tools/run_with_retry.sh)")
+    ap.add_argument("--textured", action="store_true",
+                    help="textured place canvases (render_textured) — the "
+                         "imagery family of the image demo's RoomWorld")
     ap.add_argument("--arch", type=int, default=1, choices=(1, 2),
                     help="encoder version for fresh training (2 = "
                          "GroupNorm'd deeper encoder); resumed checkpoints "
@@ -81,14 +84,17 @@ def main():
         max_rot=args.max_rot, noise=args.noise, scale=tuple(args.scale),
         cosine=args.cosine, verbose=True, revisit_offset=args.revisit,
         save_every=args.save_every or None, save_path=args.out,
-        resume_path=resume_path, encoder_version=arch)
-    m = retrieval_metrics(params, encoder_version=arch)
+        resume_path=resume_path, encoder_version=arch,
+        textured=args.textured)
+    m = retrieval_metrics(params, encoder_version=arch,
+                          textured=args.textured)
     print(f"eval(easy 64-way): recall@1 {m['recall_at_1']:.3f} "
           f"margin {m['mean_margin']:.3f}", flush=True)
     if args.hard_eval:
         mh = retrieval_metrics(params, n_places=256, max_rot=0.5,
                                noise=0.06, scale=(0.8, 1.25),
-                               revisit_offset=0.35, encoder_version=arch)
+                               revisit_offset=0.35, encoder_version=arch,
+                               textured=args.textured)
         print(f"eval(hard 256-way revisit): recall@1 "
               f"{mh['recall_at_1']:.3f} margin {mh['mean_margin']:.3f}",
               flush=True)
