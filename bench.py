@@ -86,13 +86,29 @@ def _hlo_flops(jitted, *args):
 
 
 def _median_time(fn, reps=5):
+    """Median wall time of ``fn(k)`` over reps.
+
+    ``fn`` MUST make each rep's device inputs content-distinct (use
+    ``_pert``): the axon tunnel backend memoizes executions by input
+    CONTENT and returns cached results without running the chip —
+    observed r5: a repeated identical solve "ran" in 0.2 ms vs 0.39 s
+    real. Perturb one input element per rep to defeat it.
+    """
     ts = []
-    for _ in range(reps):
+    for k in range(reps):
         t0 = time.perf_counter()
-        out = fn()
+        out = fn(k)
         jax.block_until_ready(out)
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts)), out
+
+
+def _pert(arr_np, k, eps=1e-6):
+    """Rep-unique copy of a float input (defeats content-hash caching);
+    the k*eps nudge on one element never changes iteration counts."""
+    out = np.array(arr_np, copy=True)
+    out.reshape(-1)[0] += (k + 1) * eps
+    return out
 
 
 def main():
@@ -118,8 +134,12 @@ def main():
     init = jnp.asarray(data.vio, jnp.float32)
 
     # per-problem (single instance) — the primary metric
-    solve1 = lambda: lm_solve_bt(graph, init, max_iterations=ITERS,
-                                 function_tolerance=0.0).poses
+    init_np = np.asarray(data.vio, np.float32)
+    init_reps = [jax.device_put(jnp.asarray(_pert(init_np, k)))
+                 for k in range(5)]
+    solve1 = lambda k: lm_solve_bt(graph, init_reps[k],
+                                   max_iterations=ITERS,
+                                   function_tolerance=0.0).poses
     res1 = lm_solve_bt(graph, init, max_iterations=ITERS,
                        function_tolerance=0.0)
     jax.block_until_ready(res1.poses)
@@ -135,9 +155,12 @@ def main():
     for b in range(1, BATCH):
         inits[b, :, 1:, :3] += rng.normal(
             0, 0.4, size=(100, 4, 3)).astype(np.float32)
+    initsB_reps = [jax.device_put(jnp.asarray(_pert(inits, k)))
+                   for k in range(5)]
     inits = jax.device_put(jnp.asarray(inits))
-    solveB = lambda: lm_solve_bt_batched(
-        graph, inits, max_iterations=ITERS, function_tolerance=0.0).poses
+    solveB = lambda k: lm_solve_bt_batched(
+        graph, initsB_reps[k], max_iterations=ITERS,
+        function_tolerance=0.0).poses
     resB = lm_solve_bt_batched(graph, inits, max_iterations=ITERS,
                                function_tolerance=0.0)
     jax.block_until_ready(resB.poses)
@@ -230,9 +253,13 @@ def main():
                            function_tolerance=0.0)
         jax.block_until_ready(rbig.poses)
         assert np.isfinite(float(rbig.cost))
+        ibig_np = np.asarray(big.vio, np.float32)
+        ibig_reps = [jax.device_put(jnp.asarray(_pert(ibig_np, k)))
+                     for k in range(3)]
         dt_big, _ = _median_time(
-            lambda: lm_solve_bt(gbig, ibig, max_iterations=BIG_ITERS,
-                                function_tolerance=0.0).poses, reps=3)
+            lambda k: lm_solve_bt(gbig, ibig_reps[k],
+                                  max_iterations=BIG_ITERS,
+                                  function_tolerance=0.0).poses, reps=3)
         extras["kf1024_iter_per_s"] = round(int(rbig.iterations) / dt_big, 2)
         extras["kf1024_ms_per_iter"] = round(
             dt_big / int(rbig.iterations) * 1e3, 3)
@@ -293,9 +320,13 @@ def main():
         jax.block_until_ready(rdl.poses)
         assert np.isfinite(float(rdl.cost))
         assert float(rdl.cost) < float(rdl.initial_cost)
+        idl_np = np.asarray(dloop.vio, np.float32)
+        idl_reps = [jax.device_put(jnp.asarray(_pert(idl_np, k)))
+                    for k in range(3)]
         dt_dl, _ = _median_time(
-            lambda: lm_solve_bt(gdl, idl, max_iterations=DL_ITERS,
-                                function_tolerance=0.0).poses, reps=3)
+            lambda k: lm_solve_bt(gdl, idl_reps[k],
+                                  max_iterations=DL_ITERS,
+                                  function_tolerance=0.0).poses, reps=3)
         extras["kf1024_dense_loops"] = int(len(dloop.loops))
         extras["kf1024_dense_loops_iter_per_s"] = round(
             int(rdl.iterations) / dt_dl, 2)
@@ -315,9 +346,12 @@ def main():
                           function_tolerance=0.0)
         jax.block_until_ready(r10.poses)
         assert np.isfinite(float(r10.cost))
+        i10_np = np.asarray(d10.vio, np.float32)
+        i10_reps = [jax.device_put(jnp.asarray(_pert(i10_np, k)))
+                    for k in range(3)]
         dt10, _ = _median_time(
-            lambda: lm_solve_bt(g10, i10, max_iterations=50,
-                                function_tolerance=0.0).poses, reps=3)
+            lambda k: lm_solve_bt(g10, i10_reps[k], max_iterations=50,
+                                  function_tolerance=0.0).poses, reps=3)
         extras["d10_iter_per_s"] = round(int(r10.iterations) / dt10, 2)
     except Exception as e:                      # pragma: no cover
         extras["d10_error"] = str(e)[:200]
@@ -344,11 +378,16 @@ def main():
         jax.block_until_ready(poses_f)
         dt_prep = time.perf_counter() - t0
 
-        solve_f = lambda tol: lm_solve_multigraph(
-            stacked, poses_f, max_iterations=50, function_tolerance=tol)
+        posesf_np = np.stack(finits)
+        posesf_reps = [jax.device_put(jnp.asarray(_pert(posesf_np, k)))
+                       for k in range(3)]
+        solve_f = lambda tol, p=None: lm_solve_multigraph(
+            stacked, poses_f if p is None else p, max_iterations=50,
+            function_tolerance=tol)
         rf = solve_f(0.0)
         jax.block_until_ready(rf.poses)
-        dt_f, rf = _median_time(lambda: solve_f(0.0).poses, reps=3)
+        dt_f, _ = _median_time(
+            lambda k: solve_f(0.0, posesf_reps[k]).poses, reps=3)
         rf = solve_f(0.0)
         extras["fleet_aggregate_iter_per_s"] = round(
             int(rf.iterations) * FLEET / dt_f, 2)
@@ -357,7 +396,8 @@ def main():
         # tolerance), not a fixed 50-iteration budget
         rc = solve_f(1e-6)
         jax.block_until_ready(rc.poses)
-        dt_c, _ = _median_time(lambda: solve_f(1e-6).poses, reps=3)
+        dt_c, _ = _median_time(
+            lambda k: solve_f(1e-6, posesf_reps[k]).poses, reps=3)
         extras["fleet_windows_per_s"] = round(FLEET / dt_c, 2)
         extras["fleet_converge_iters"] = int(rc.iterations)
     except Exception as e:                      # pragma: no cover
@@ -372,8 +412,11 @@ def main():
         rng0 = np.random.default_rng(0)
 
         def frontend_rate(dtype, B):
-            imgs = jax.device_put(jnp.asarray(rng0.uniform(
-                size=(B, H, W, 1)).astype(np.float32)))
+            # 4 content-distinct image batches cycled through the loop —
+            # the tunnel backend memoizes executions by input content
+            imgs_v = [jax.device_put(jnp.asarray(rng0.uniform(
+                size=(B, H, W, 1)).astype(np.float32))) for _ in range(4)]
+            imgs = imgs_v[0]
             sp = SuperPointExtractor(height=H, width=W, max_keypoints=200,
                                      dtype=dtype)
             nv = GlobalDescriptorExtractor(height=H, width=W, out_dim=4096,
@@ -388,9 +431,9 @@ def main():
             ts = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                for _ in range(n):
-                    o = sp(imgs)
-                    g = nv(imgs)
+                for i in range(n):
+                    o = sp(imgs_v[i % 4])
+                    g = nv(imgs_v[i % 4])
                 jax.block_until_ready(o[0])
                 jax.block_until_ready(g)
                 ts.append(time.perf_counter() - t0)

@@ -41,14 +41,22 @@ def main():
     print(f"[dense-loops] F={args.frames} loops={len(data.loops)}",
           flush=True)
 
+    init_np = np.asarray(data.vio, np.float32)
+
+    def pert(k):
+        o = init_np.copy()
+        o[0, 0, 0] += (k + 1) * 1e-6    # content-distinct per rep: the
+        return jnp.asarray(o)           # tunnel memoizes by input content
+
     def run(**kw):
         r = lm_solve_bt(graph, init, max_iterations=args.iters,
                         function_tolerance=0.0, **kw)
         jax.block_until_ready(r.poses)
         ts = []
-        for _ in range(3):
+        for k in range(3):
+            ik = jax.device_put(pert(k))
             t0 = time.perf_counter()
-            out = lm_solve_bt(graph, init, max_iterations=args.iters,
+            out = lm_solve_bt(graph, ik, max_iterations=args.iters,
                               function_tolerance=0.0, **kw)
             jax.block_until_ready(out.poses)
             ts.append(time.perf_counter() - t0)

@@ -31,10 +31,14 @@ def main():
     r = lm_solve_bt(graph, init, max_iterations=100, function_tolerance=0.0)
     jax.block_until_ready(r.poses)
     iters = int(r.iterations)
+    init_np = np.asarray(data.vio, np.float32)
     ts = []
-    for _ in range(5):
+    for k in range(5):
+        o = init_np.copy()
+        o[0, 0, 0] += (k + 1) * 1e-6    # tunnel memoizes by input content
+        ik = jax.device_put(jnp.asarray(o))
         t0 = time.perf_counter()
-        out = lm_solve_bt(graph, init, max_iterations=100,
+        out = lm_solve_bt(graph, ik, max_iterations=100,
                           function_tolerance=0.0)
         jax.block_until_ready(out.poses)
         ts.append(time.perf_counter() - t0)
