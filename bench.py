@@ -104,10 +104,11 @@ def _median_time(fn, reps=5):
 
 
 def _pert(arr_np, k, eps=1e-6):
-    """Rep-unique copy of a float input (defeats content-hash caching);
-    the k*eps nudge on one element never changes iteration counts."""
+    """Globally-unique copy of a float input (defeats content-hash
+    caching, which persists SERVER-side across processes); the tiny
+    random nudge on one element never changes iteration counts."""
     out = np.array(arr_np, copy=True)
-    out.reshape(-1)[0] += (k + 1) * eps
+    out.reshape(-1)[0] += (k + 1) * eps + np.random.uniform(0, eps)
     return out
 
 

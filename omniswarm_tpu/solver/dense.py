@@ -1098,9 +1098,17 @@ def _auto_pack(F: int, m: int = 20) -> int:
     latency-bound level chain on thin (m, m) blocks — pack frames into
     ~80-wide blocks from F>=384 (measured at m=20: F=1024 smw 13.0->3.2 ms
     at pack=4; pack=8 = 160-wide blocks is WORSE — Newton-Schulz FLOPs
-    grow cubically with block width). Packing never exceeds 80 wide."""
-    if F < 384:
+    grow cubically with block width). Packing never exceeds 80 wide.
+
+    Mid-size windows (the reference's production F=100) take pack=2:
+    +2-3% single / +1.4% batch-8 on v5e, consistent across two r5 runs
+    (F100_GRID_r05.json) — the rest of the F=100 level-latency gap is a
+    measured dead end (pack=4 and the fused Pallas level are both
+    NEGATIVE at this size; the chain is too short to amortize)."""
+    if F < 96:
         return 1
+    if F < 384:
+        return min(2, max(1, 40 // max(m, 1)))
     return max(1, min(4, 80 // max(m, 1)))
 
 

@@ -45,7 +45,8 @@ def main():
 
     def pert(k):
         o = init_np.copy()
-        o[0, 0, 0] += (k + 1) * 1e-6    # content-distinct per rep: the
+        # content-distinct per rep AND per process (server cache)
+        o[0, 0, 0] += (k + 1) * 1e-6 + np.random.uniform(0, 1e-6)
         return jnp.asarray(o)           # tunnel memoizes by input content
 
     def run(**kw):

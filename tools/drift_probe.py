@@ -35,7 +35,7 @@ def main():
     ts = []
     for k in range(5):
         o = init_np.copy()
-        o[0, 0, 0] += (k + 1) * 1e-6    # tunnel memoizes by input content
+        o[0, 0, 0] += (k + 1) * 1e-6 + np.random.uniform(0, 1e-6)
         ik = jax.device_put(jnp.asarray(o))
         t0 = time.perf_counter()
         out = lm_solve_bt(graph, ik, max_iterations=100,
