@@ -87,7 +87,13 @@ def main():
         node = DroneNode(d, bus,
                          solver_params=SolverParams(
                              pcm_redundant=False, max_iterations=60,
-                             init_z_movement=0.05),
+                             init_z_movement=0.05,
+                             # max_accept_cost scales with the factor
+                             # count: D=10 carries 4.5x the D=5 range
+                             # pairs, so a healthy converged cost does too
+                             # (the reference tunes this per launch file)
+                             acpt_cost=100.0 * max(
+                                 1.0, (D * (D - 1) / 2) / 10.0)),
                          frontend_params=fp, global_dim=4096, seed=d)
         nodes.append(node)
         cams.append(OmniLoopCam(params=fp, intrinsics=intr,
