@@ -1179,8 +1179,18 @@ def lm_solve_bt_impl(graph: DenseGraph, poses0: jnp.ndarray, *,
             _smw_solve_core, exact=exact_linear, pack=pk1,
             fused_levels=(pk1 > 1) if fused is None else fused)
     lam0 = jnp.asarray(1e-4, poses0.dtype)
-    # cold Newton-Schulz factor seeds the warm chain (dx discarded)
-    _, warm0 = smw_solve(A0, B0, g0, U0, lam0, None)
+    # cold Newton-Schulz factor seeds the warm chain (dx discarded). On
+    # the pcg path the seed runs ONE CG sweep instead of cg_iters: its
+    # only products are the factor warm state + an x0 the first real
+    # iteration refines anyway — at serving depth (2-3 LM iters/solve,
+    # ONLINE_1024) the full-strength seed was ~1/3 of the device time.
+    if use_pcg:
+        seed_solve = functools.partial(
+            _pcg_solve_core, pack=pk1, cg_iters=1,
+            fused_levels=(pk1 > 1) if fused is None else fused)
+        _, warm0 = seed_solve(A0, B0, g0, U0, lam0, None)
+    else:
+        _, warm0 = smw_solve(A0, B0, g0, U0, lam0, None)
 
     def cond(state):
         return (~state[-1]) & (state[-2] < max_iterations)
