@@ -468,6 +468,40 @@ def main():
         prog("frontend f32")
         extras["frontend_views_per_s_f32"] = round(
             frontend_rate(jnp.float32, 4)[0], 2)
+        # PRODUCTION fused path: SuperPoint + NetVLAD + mutual match +
+        # stereo triangulation as ONE dispatch (loop_cam._ensure_fused) —
+        # the serving front-end never dispatches the CNNs separately, so
+        # the sp+nv rows above undercount the B=4 tier by one RTT/step
+        prog("frontend fused")
+        try:
+            from omniswarm_tpu.config import FrontendParams
+            from omniswarm_tpu.swarm.loop_cam import (CameraIntrinsics,
+                                                      LoopCam)
+
+            fp = FrontendParams(width=W, height=H)
+            cam = LoopCam(params=fp,
+                          intrinsics=CameraIntrinsics(
+                              fx=220, fy=220, cx=W / 2, cy=H / 2),
+                          baseline=0.2)
+            B4 = 4
+            # uint8 sensor wire format (4x fewer upload bytes — the
+            # fused call is transfer-bound over the ~30 MB/s tunnel)
+            img_sets = [
+                (rng0.integers(0, 255, size=(B4, H, W)).astype(np.uint8),
+                 rng0.integers(0, 255, size=(B4, H, W)).astype(np.uint8))
+                for _ in range(4)]
+            cam.extract_stereo_batch(*img_sets[0])       # compile
+            n = 20
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for i in range(n):
+                    o = cam.extract_stereo_batch(*img_sets[i % 4])
+                ts.append(time.perf_counter() - t0)
+            extras["frontend_views_per_s_fused_b4"] = round(
+                2 * B4 / (float(np.median(ts)) / n), 2)
+        except Exception as e:                  # pragma: no cover
+            extras["frontend_fused_error"] = str(e)[:200]
         if fl_view:
             best = max(scan.values())
             eff["frontend_flops_per_view"] = round(fl_view)

@@ -174,19 +174,54 @@ def _verify_multi_kernel(qpacks, cpacks, seed,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("pnp_hyp", "use_hom"))
-def _verify_multi_gather_kernel(qpacks, pay_a, pay_b, src, idx, seed,
-                                *, pnp_hyp: int, use_hom: bool,
-                                pnp_err, hom_err):
-    """Verify Q queries × C candidates, candidates GATHERED on device.
+                   static_argnames=("k", "pnp_hyp", "use_hom"))
+def _tick_kernel(db_a, db_b, pay_a, pay_b, descs, metas, add_sel, qpacks,
+                 use_ab, floor, over_a, over_b, seed,
+                 *, k: int, pnp_hyp: int, use_hom: bool,
+                 pnp_err, hom_err):
+    """The WHOLE detector serving tick as ONE dispatch.
 
-    pay_a/pay_b: the (N, Kb, P) f16 payload rings kept in HBM by
-    ops/placedb.query2_add_payload_batch; src/idx: (Q, C) i32 candidate
-    addresses (src 0 = local ring, 1 = remote ring, -1 = pad). The host
-    uploads only the query packs + a few hundred bytes of indices —
-    r4's _verify_multi_kernel re-uploaded every candidate payload
-    ((Q, C, Kb, P) f16, ~MBs) across the ~30 MB/s tunnel every tick.
+    Retrieval (both DBs), ring inserts (descriptors + payloads),
+    candidate merge (top-k over local+remote with floor/validity/
+    overwrite masks), and geometric verification of every survivor —
+    fused so a keyframe batch costs exactly one upload + one download
+    round over the tunnel (the r5 two-dispatch path still paid an extra
+    ~35 ms RTT to bounce candidate indices through the host).
+
+    use_ab: (Q, 2) bool — query i may match db_a / db_b;
+    floor: scalar retrieval floor (min of the mode thresholds);
+    over_a/over_b: (N,) bool — slots this batch's inserts overwrite
+    (their ring payload now belongs to the NEW keyframe → excluded).
+    Returns (src, slot, sim, verify outputs...) with src -1 on padded
+    candidate lanes.
     """
+    from omniswarm_tpu.ops import placedb as _pdb
+
+    out = _pdb.query2_add_payload_batch(
+        db_a, db_b, pay_a, pay_b, descs, metas, add_sel, qpacks, k=k)
+    ia, sa, ib, sb, na, nb, pa2, pb2 = out
+    kk = ia.shape[1]
+    # mask: floor, per-query db usage, overwritten slots
+    sa = jnp.where(use_ab[:, 0:1] & (sa >= floor) & ~over_a[ia],
+                   sa, -jnp.inf)
+    sb = jnp.where(use_ab[:, 1:2] & (sb >= floor) & ~over_b[ib],
+                   sb, -jnp.inf)
+    sims = jnp.concatenate([sa, sb], axis=1)             # (Q, 2k)
+    C = min(k, sims.shape[1])
+    top_sim, pos = jax.lax.top_k(sims, C)
+    src = jnp.where(pos >= kk, 1, 0)
+    slot = jnp.where(pos >= kk,
+                     jnp.take_along_axis(ib, jnp.maximum(pos - kk, 0), 1),
+                     jnp.take_along_axis(ia, jnp.minimum(pos, kk - 1), 1))
+    src = jnp.where(jnp.isfinite(top_sim), src, -1)
+    verify = _gather_verify(qpacks, pa2, pb2, src, slot, seed,
+                            pnp_hyp=pnp_hyp, use_hom=use_hom,
+                            pnp_err=pnp_err, hom_err=hom_err)
+    return (src, slot, top_sim) + tuple(verify) + (na, nb, pa2, pb2)
+
+
+def _gather_verify(qpacks, pay_a, pay_b, src, idx, seed,
+                   *, pnp_hyp: int, use_hom: bool, pnp_err, hom_err):
     N = pay_a.shape[0]
     store = jnp.concatenate([pay_a, pay_b], 0)           # (2N, Kb, P)
     gidx = jnp.clip(idx + jnp.maximum(src, 0) * N, 0, 2 * N - 1)
@@ -196,6 +231,8 @@ def _verify_multi_gather_kernel(qpacks, pay_a, pay_b, src, idx, seed,
         qpacks.astype(jnp.float32), cpacks.astype(jnp.float32), seed,
         pnp_hyp=pnp_hyp, use_hom=use_hom,
         pnp_err=pnp_err, hom_err=hom_err)
+
+
 
 
 @dataclass
@@ -405,14 +442,6 @@ class LoopDetector:
         qpacks = np.zeros((Qb, Kb, P), np.float16)
         for i, kf in enumerate(kfs):
             pack16(kf, qpacks[i])
-        qdev = jnp.asarray(qpacks)           # uploaded once, used twice
-
-        out = placedb.query2_add_payload_batch(
-            self.local_db, self.remote_db, self._pay_local,
-            self._pay_remote, jnp.asarray(descs),
-            jnp.asarray(metas), jnp.asarray(add_sel), qdev,
-            k=p.search_nearest_num)
-        ia, sa, ib, sb = jax.device_get(out[:4])
 
         # slots this batch overwrites: their ring payload now belongs to
         # the NEW keyframe, so a (rare: full ring) candidate pointing at
@@ -420,36 +449,39 @@ class LoopDetector:
         cap = p.max_db_size
         n_ins_a = int((add_sel == 1).sum())
         n_ins_b = int((add_sel == 2).sum())
-        over_a = {(self._local_count + r) % cap for r in range(n_ins_a)
-                  if self._local_count + r >= cap}
-        over_b = {(self._remote_count + r) % cap for r in range(n_ins_b)
-                  if self._remote_count + r >= cap}
-
-        # candidate lists come from the PRE-insert slot dicts (a full ring
-        # buffer may overwrite a just-matched slot otherwise)
+        over_a = np.zeros(cap, bool)
+        over_b = np.zeros(cap, bool)
+        for r in range(n_ins_a):
+            if self._local_count + r >= cap:
+                over_a[(self._local_count + r) % cap] = True
+        for r in range(n_ins_b):
+            if self._remote_count + r >= cap:
+                over_b[(self._remote_count + r) % cap] = True
+        use_ab = np.zeros((Qb, 2), bool)
+        use_ab[:n, 0] = use_a
+        use_ab[:n, 1] = use_b
         floor = min(p.netvlad_thres, p.netvlad_init_thres)
-        cand_lists = []
-        for i in range(n):
-            cands = []
-            if use_a[i]:
-                for j, s in zip(ia[i], sa[i]):
-                    if np.isfinite(s) and s >= floor \
-                            and int(j) in self.local_kfs \
-                            and int(j) not in over_a:
-                        cands.append(
-                            (self.local_kfs[int(j)], float(s), 0, int(j)))
-            if use_b[i]:
-                for j, s in zip(ib[i], sb[i]):
-                    if np.isfinite(s) and s >= floor \
-                            and int(j) in self.remote_kfs \
-                            and int(j) not in over_b:
-                        cands.append(
-                            (self.remote_kfs[int(j)], float(s), 1, int(j)))
-            cands.sort(key=lambda t: -t[1])
-            cand_lists.append(cands[:p.search_nearest_num])
-        # commit the inserts: device DBs + payload rings + host dicts
-        self.local_db, self.remote_db = out[4], out[5]
-        self._pay_local, self._pay_remote = out[6], out[7]
+
+        # ---- the ENTIRE tick as one dispatch: retrieval + inserts +
+        # candidate merge + geometric verify (one upload + one download
+        # round over the tunnel)
+        self._seed_counter += 1
+        out = _tick_kernel(
+            self.local_db, self.remote_db, self._pay_local,
+            self._pay_remote, jnp.asarray(descs), jnp.asarray(metas),
+            jnp.asarray(add_sel), jnp.asarray(qpacks),
+            jnp.asarray(use_ab), jnp.float32(floor),
+            jnp.asarray(over_a), jnp.asarray(over_b),
+            np.uint32(self._seed0 + self._seed_counter),
+            k=p.search_nearest_num, pnp_hyp=p.pnp_iterations,
+            use_hom=bool(p.homography_prefilter),
+            pnp_err=p.pnp_reproj_err, hom_err=p.homography_thresh_px)
+        (src, slot, sim_qc, idx_b, _raw, mask, n_match, n_valid,
+         dpose, n_inl, inliers) = jax.device_get(out[:11])
+        self.local_db, self.remote_db = out[11], out[12]
+        self._pay_local, self._pay_remote = out[13], out[14]
+
+        # commit inserts to the host slot dicts (metadata mirror)
         for i, (kf, pr) in enumerate(zip(kfs, prevent_flags)):
             if add_sel[i] == 1:
                 self.local_kfs[self._local_count % p.max_db_size] = kf
@@ -459,30 +491,23 @@ class LoopDetector:
                 self._remote_count += 1
 
         results = [[] for _ in range(n)]
+        cand_lists = []
+        for i in range(n):
+            cands = []
+            for c in range(src.shape[1]):
+                if src[i, c] < 0:
+                    continue
+                d = self.local_kfs if src[i, c] == 0 else self.remote_kfs
+                old = d.get(int(slot[i, c]))
+                if old is not None:
+                    cands.append((old, float(sim_qc[i, c]), c))
+            cand_lists.append(cands)
         if not any(cand_lists):
             return results
-        # ---- one fused verify over every (query, candidate) pair ----
-        Cb = p.search_nearest_num
-        src = np.full((Qb, Cb), -1, np.int32)
-        idx = np.zeros((Qb, Cb), np.int32)
-        for i in range(n):
-            for c, (_old, _s, s_, j_) in enumerate(cand_lists[i]):
-                src[i, c] = s_
-                idx[i, c] = j_
-        self._seed_counter += 1
-        out2 = _verify_multi_gather_kernel(
-            qdev, self._pay_local, self._pay_remote,
-            jnp.asarray(src), jnp.asarray(idx),
-            np.uint32(self._seed0 + self._seed_counter),
-            pnp_hyp=p.pnp_iterations,
-            use_hom=bool(p.homography_prefilter),
-            pnp_err=p.pnp_reproj_err, hom_err=p.homography_thresh_px)
-        (idx_b, _raw, mask, n_match, n_valid,
-         dpose, n_inl, inliers) = jax.device_get(out2)
         for i, kf in enumerate(kfs):
             ka = len(kf.valid)
             accepted = []
-            for c, (old, sim, _src, _slot) in enumerate(cand_lists[i]):
+            for old, sim, c in cand_lists[i]:
                 init_mode = self._init_mode(
                     old.drone_id if kf.drone_id == self.self_id
                     else kf.drone_id)
