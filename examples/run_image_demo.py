@@ -92,7 +92,7 @@ def main():
                              # count: D=10 carries 4.5x the D=5 range
                              # pairs, so a healthy converged cost does too
                              # (the reference tunes this per launch file)
-                             acpt_cost=100.0 * max(
+                             acpt_cost=150.0 * max(
                                  1.0, (D * (D - 1) / 2) / 10.0)),
                          frontend_params=fp, global_dim=4096, seed=d)
         nodes.append(node)
