@@ -33,7 +33,11 @@ def test_ten_drone_large_window_packs_to_80_wide():
     assert _auto_pack(512, 40) == 2
     assert _auto_pack(512, 20) == 4
     assert _auto_pack(512, 80) == 1
-    assert _auto_pack(100, 20) == 1
+    # r5: mid windows (96<=F<384) pack 2 at m<=20 (+2-3% measured at
+    # F=100, F100_GRID_r05.json); tiny windows stay unpacked
+    assert _auto_pack(100, 20) == 2
+    assert _auto_pack(100, 40) == 1
+    assert _auto_pack(64, 20) == 1
 
     data = sim.generate(sim.SimParams(num_drones=10, num_frames=48, seed=6))
     graph = dense_graph_from_sim(data)
