@@ -43,7 +43,13 @@ def test_ten_drone_large_window_packs_to_80_wide():
     graph = dense_graph_from_sim(data)
     init = jnp.asarray(data.vio, jnp.float32)
     r1 = lm_solve_bt(graph, init, max_iterations=20, pack=1)
-    r2 = lm_solve_bt(graph, init, max_iterations=20, pack=2)
+    # fused=False: the packed default would take the fused Pallas level,
+    # which SEGFAULTS on the XLA-CPU backend when run late in a full
+    # suite (hundreds of accumulated executables; rc=139 reproduced 4x
+    # at exactly this test, passes in isolation). The Pallas kernels
+    # have dedicated coverage in test_pallas_level.py; this test is
+    # about pack-width equivalence, not the fused kernels.
+    r2 = lm_solve_bt(graph, init, max_iterations=20, pack=2, fused=False)
     c1, c2 = float(r1.cost), float(r2.cost)
     assert np.isfinite(c1) and np.isfinite(c2)
     assert abs(c1 - c2) / max(c1, 1e-9) < 5e-3, (c1, c2)
