@@ -39,17 +39,32 @@ def test_ten_drone_large_window_packs_to_80_wide():
     assert _auto_pack(100, 40) == 1
     assert _auto_pack(64, 20) == 1
 
-    data = sim.generate(sim.SimParams(num_drones=10, num_frames=48, seed=6))
-    graph = dense_graph_from_sim(data)
-    init = jnp.asarray(data.vio, jnp.float32)
-    r1 = lm_solve_bt(graph, init, max_iterations=20, pack=1)
-    # fused=False: the packed default would take the fused Pallas level,
-    # which SEGFAULTS on the XLA-CPU backend when run late in a full
-    # suite (hundreds of accumulated executables; rc=139 reproduced 4x
-    # at exactly this test, passes in isolation). The Pallas kernels
-    # have dedicated coverage in test_pallas_level.py; this test is
-    # about pack-width equivalence, not the fused kernels.
-    r2 = lm_solve_bt(graph, init, max_iterations=20, pack=2, fused=False)
-    c1, c2 = float(r1.cost), float(r2.cost)
+    # The two D=10 solves run in a FRESH interpreter: late in a full
+    # suite (hundreds of accumulated XLA-CPU executables) this exact
+    # compile SEGFAULTS the process (rc=139, reproduced 5x at this test;
+    # passes in isolation every time) — an XLA-CPU backend fragility,
+    # not a solver property. Subprocess isolation keeps the coverage
+    # and makes the crash impossible to trigger.
+    import subprocess
+    import sys as _sys
+
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from omniswarm_tpu import sim
+from omniswarm_tpu.solver.dense import dense_graph_from_sim, lm_solve_bt
+data = sim.generate(sim.SimParams(num_drones=10, num_frames=48, seed=6))
+graph = dense_graph_from_sim(data)
+init = jnp.asarray(data.vio, jnp.float32)
+r1 = lm_solve_bt(graph, init, max_iterations=20, pack=1)
+r2 = lm_solve_bt(graph, init, max_iterations=20, pack=2)
+print("COSTS", float(r1.cost), float(r2.cost))
+"""
+    out = subprocess.run([_sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("COSTS")][0]
+    c1, c2 = (float(x) for x in line.split()[1:])
     assert np.isfinite(c1) and np.isfinite(c2)
     assert abs(c1 - c2) / max(c1, 1e-9) < 5e-3, (c1, c2)
