@@ -58,6 +58,17 @@ def main():
                     help="search_nearest_num: retrieval candidates per "
                          "query (the r5 descriptor makes wider candidate "
                          "sets safe to verify)")
+    ap.add_argument("--no-balanced-db", dest="balanced_db",
+                    action="store_false", default=True,
+                    help="disable per-DB candidate quotas (verify both "
+                         "DBs' full top-k); the merged top-k starves "
+                         "same-drone revisits when the remote DB is "
+                         "(D-1)x the local DB")
+    ap.add_argument("--max-loops", type=int, default=6,
+                    help="max accepted loops per query: every top-C "
+                         "candidate is already verified in the fused "
+                         "tick, so accepting more of the verified "
+                         "true matches costs nothing extra")
     args = ap.parse_args()
     import time as _time
 
@@ -74,7 +85,8 @@ def main():
                         match_index_dist=4, netvlad_thres=0.35,
                         min_loop_matches_init=12,
                         search_nearest_num=args.candidates,
-                        max_loops_per_query=3,
+                        max_loops_per_query=args.max_loops,
+                        balanced_db_candidates=args.balanced_db,
                         geometric_override_matches=25,
                         pnp_iterations=256,
                         accept_loop_yaw_mod=float(np.pi / 2))

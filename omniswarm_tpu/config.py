@@ -186,6 +186,13 @@ class FrontendParams:
     # batched verify already scored every candidate above the floor, so
     # geometry — the much stronger evidence — can overrule retrieval.
     geometric_override_matches: int = 0
+    # verify BOTH databases' full top-k (2k candidate lanes) instead of
+    # the merged top-k. With D drones the remote DB is (D-1)x the local
+    # DB, so a similarity-merged top-k starves same-drone revisits under
+    # perceptual aliasing; per-DB quotas guarantee local candidates reach
+    # geometric verification (the fused tick already verifies every lane
+    # for free — only the lane count changes). verify_batch only.
+    balanced_db_candidates: bool = False
 
 
 @dataclass

@@ -174,11 +174,11 @@ def _verify_multi_kernel(qpacks, cpacks, seed,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "pnp_hyp", "use_hom"))
+                   static_argnames=("k", "pnp_hyp", "use_hom", "all_lanes"))
 def _tick_kernel(db_a, db_b, pay_a, pay_b, descs, metas, add_sel, qpacks,
                  use_ab, floor, over_a, over_b, seed,
                  *, k: int, pnp_hyp: int, use_hom: bool,
-                 pnp_err, hom_err):
+                 pnp_err, hom_err, all_lanes: bool = False):
     """The WHOLE detector serving tick as ONE dispatch.
 
     Retrieval (both DBs), ring inserts (descriptors + payloads),
@@ -207,7 +207,9 @@ def _tick_kernel(db_a, db_b, pay_a, pay_b, descs, metas, add_sel, qpacks,
     sb = jnp.where(use_ab[:, 1:2] & (sb >= floor) & ~over_b[ib],
                    sb, -jnp.inf)
     sims = jnp.concatenate([sa, sb], axis=1)             # (Q, 2k)
-    C = min(k, sims.shape[1])
+    # all_lanes: keep every per-DB top-k lane (balanced_db_candidates) —
+    # top_k over all 2k lanes is just a sort, so src/slot logic is shared
+    C = sims.shape[1] if all_lanes else min(k, sims.shape[1])
     top_sim, pos = jax.lax.top_k(sims, C)
     src = jnp.where(pos >= kk, 1, 0)
     slot = jnp.where(pos >= kk,
@@ -475,7 +477,8 @@ class LoopDetector:
             np.uint32(self._seed0 + self._seed_counter),
             k=p.search_nearest_num, pnp_hyp=p.pnp_iterations,
             use_hom=bool(p.homography_prefilter),
-            pnp_err=p.pnp_reproj_err, hom_err=p.homography_thresh_px)
+            pnp_err=p.pnp_reproj_err, hom_err=p.homography_thresh_px,
+            all_lanes=bool(p.balanced_db_candidates))
         (src, slot, sim_qc, idx_b, _raw, mask, n_match, n_valid,
          dpose, n_inl, inliers) = jax.device_get(out[:11])
         self.local_db, self.remote_db = out[11], out[12]
@@ -507,7 +510,17 @@ class LoopDetector:
         for i, kf in enumerate(kfs):
             ka = len(kf.valid)
             accepted = []
-            for old, sim, c in cand_lists[i]:
+            # walk candidates strongest-geometry-first: every candidate is
+            # already verified in the fused tick, and under perceptual
+            # aliasing (repetitive scenes) NetVLAD similarity mis-ranks
+            # lookalike frames above true revisits while the PnP inlier
+            # count ranks the true overlap highest — spend the
+            # max_loops_per_query budget on the geometrically strongest
+            # pairs (the reference's best-sim-first walk stops at ONE loop,
+            # loop_detector.cpp:203-242, so it never faces this choice)
+            order = sorted(cand_lists[i],
+                           key=lambda t: -int(n_inl[i, t[2]]))
+            for old, sim, c in order:
                 init_mode = self._init_mode(
                     old.drone_id if kf.drone_id == self.self_id
                     else kf.drone_id)
@@ -657,7 +670,11 @@ class LoopDetector:
             (idx_b, _raw, mask, n_match, n_valid,
              dpose, n_inl, inliers) = jax.device_get(out)
             accepted = []
-            for i, (old, sim) in enumerate(cands):
+            # strongest-geometry-first walk (same rationale as the fused
+            # tick path: aliasing mis-ranks similarity, inliers don't)
+            order = sorted(range(len(cands)), key=lambda j: -int(n_inl[j]))
+            for i in order:
+                old, sim = cands[i]
                 thres, min_inliers = mode_gates(old)
                 if sim < thres:
                     if self.p.geometric_override_matches <= 0:

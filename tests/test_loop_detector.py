@@ -145,3 +145,34 @@ def test_match_viz_disabled_keeps_no_images(world):
         np.zeros(4)).shape[0])
     det.register_image(0, 0, np.zeros((4, 4)))
     assert not det._images
+
+
+def test_balanced_db_candidates_recovers_starved_db(world):
+    """Per-DB candidate quotas (balanced_db_candidates): with k=1 the
+    similarity-merged top-k keeps only ONE lane across both databases, so
+    the lower-similarity database's true revisit is never even verified;
+    balanced mode keeps both DBs' top-k lanes and the inlier-ordered walk
+    accepts both loops."""
+    gdim = world.global_desc(np.zeros(4)).shape[0]
+
+    def build(balanced):
+        det = LoopDetector(self_id=0, params=FrontendParams(
+            max_db_size=256, min_loop_matches=12, match_index_dist=3,
+            netvlad_thres=0.5, pnp_iterations=128, search_nearest_num=1,
+            max_loops_per_query=2, balanced_db_candidates=balanced),
+            global_dim=gdim, seed=0)
+        spot = np.array([1.0, 2.0, 1.0, 0.3])
+        # own history at the spot + a remote keyframe at the same spot
+        det.on_keyframe(world.make_keyframe(0, 0, spot, t=0.0))
+        det.on_keyframe(world.make_keyframe(
+            1, 0, spot + np.array([0.2, -0.1, 0.0, 0.05]), t=1.0))
+        # revisit: both DBs hold a true loop for this query
+        return det.on_keyframe_multi(world.make_keyframe(
+            0, 10, spot + np.array([0.3, 0.2, 0.1, -0.05]), t=10.0))
+
+    merged = build(False)
+    balanced = build(True)
+    assert len(merged) <= 1                  # one lane -> at most one loop
+    assert len(balanced) == 2, "balanced mode must verify both DB lanes"
+    pairs = {(lp.edge.drone_a, lp.edge.drone_b) for lp in balanced}
+    assert pairs == {(0, 0), (0, 1)}
